@@ -1,0 +1,194 @@
+"""H.264 intra decoder driver: NALU stream -> decoded pictures.
+
+Reference: h264_decode (minivideo/src/decoder/h264/h264.c:41-206) — NALU
+loop dispatching on nal_unit_type {5 IDR, 6 SEI, 7 SPS, 8 PPS}, stopping
+after `picture_number` IDRs or too many errors.  This driver is the
+host-side orchestration; reconstruction runs either through the numpy
+oracle (engine="np") or the batched TPU path (engine="jax", ops/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ... import trace
+from ...bitio import BitstreamError
+from .nalu import Nalu, NaluType, parse_nalu, split_annexb
+from .params import (PPS, SPS, UnsupportedStream, parse_pps, parse_sei,
+                     parse_sps)
+from .recon_np import reconstruct_frame
+from .slicehdr import parse_slice_header
+from .syntax import CavlcSliceParser, FrameSyntax
+from .cabac import CabacSliceParser
+
+MAX_CONSECUTIVE_ERRORS = 64  # reference: h264.c:181-187
+
+
+@dataclass
+class DecodedPicture:
+    """One decoded IDR picture: 4:2:0 planes + display crop."""
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+    width: int          # cropped display width
+    height: int
+    idr_index: int = 0
+    syntax: object = None    # FrameSyntax (kept for tests/benchmarks)
+
+    def cropped(self):
+        return (self.y[:self.height, :self.width],
+                self.cb[:self.height // 2, :self.width // 2],
+                self.cr[:self.height // 2, :self.width // 2])
+
+
+class H264Decoder:
+    """Stateful NALU-stream decoder (SPS/PPS context + IDR decoding)."""
+
+    def __init__(self, engine: str = "np"):
+        self.sps_map: dict = {}
+        self.pps_map: dict = {}
+        self.engine = engine
+        self.idr_count = 0
+        self.error_count = 0
+
+    # -- NALU feed -----------------------------------------------------------
+
+    def feed_nalu(self, nalu: Nalu):
+        """Process one NALU; returns a DecodedPicture for IDR slices that
+        complete a picture, else None."""
+        t = nalu.nal_unit_type
+        if t == NaluType.SPS:
+            sps = parse_sps(nalu.rbsp)
+            self.sps_map[sps.seq_parameter_set_id] = sps
+            return None
+        if t == NaluType.PPS:
+            pps = parse_pps(nalu.rbsp, self.sps_map)
+            self.pps_map[pps.pic_parameter_set_id] = pps
+            return None
+        if t == NaluType.SEI:
+            parse_sei(nalu.rbsp)
+            return None
+        if t == NaluType.SLICE_IDR:
+            return self._decode_idr([nalu])
+        if t == NaluType.SLICE:
+            # non-IDR slice: I slices only reachable via IDR in this
+            # decoder; skipped like the reference (h264.c:127-130)
+            trace.t1("H264", "skipping non-IDR slice NALU")
+            return None
+        if t in (NaluType.PREFIX, NaluType.SLICE_SVC):
+            raise UnsupportedStream("SVC/MVC NALUs")
+        trace.t2("NALU", "ignoring NALU type %d", int(t))
+        return None
+
+    # -- picture decoding ----------------------------------------------------
+
+    def parse_idr_syntax(self, nalus) -> tuple:
+        """Entropy-decode the slices of one IDR picture into a FrameSyntax.
+
+        `nalus` is a list of SLICE_IDR Nalu objects covering the picture.
+        Returns (FrameSyntax, SPS, PPS, slice_of_mb)."""
+        fs = None
+        sps = pps = None
+        slice_of_mb = None
+        for snum, nalu in enumerate(nalus):
+            sh, sps, pps = parse_slice_header(
+                nalu.rbsp, nalu.nal_unit_type, nalu.nal_ref_idc,
+                self.sps_map, self.pps_map)
+            if fs is None:
+                fs = FrameSyntax(sps.pic_width_in_mbs,
+                                 sps.pic_height_in_map_units)
+                slice_of_mb = np.full(fs.n_mbs, -1, dtype=np.int32)
+            if pps.entropy_coding_mode_flag:
+                parser = CabacSliceParser(nalu.rbsp, sh, sps, pps, fs)
+            else:
+                from ...bitio import BitReader
+                r = BitReader(nalu.rbsp, start_bit=sh.data_bit_offset)
+                parser = CavlcSliceParser(r, sh, sps, pps, fs)
+            n = parser.parse_slice_data()
+            slice_of_mb[sh.first_mb_in_slice:sh.first_mb_in_slice + n] = snum
+            trace.t1("SLICE", "decoded slice: %d MBs from %d",
+                     n, sh.first_mb_in_slice)
+        return fs, sps, pps, slice_of_mb
+
+    def _decode_idr(self, nalus):
+        fs, sps, pps, slice_of_mb = self.parse_idr_syntax(nalus)
+        y, cb, cr = reconstruct_frame(fs, sps, pps, slice_of_mb)
+        pic = DecodedPicture(
+            y=y, cb=cb, cr=cr,
+            width=sps.cropped_width, height=sps.cropped_height,
+            idr_index=self.idr_count, syntax=fs)
+        self.idr_count += 1
+        return pic
+
+
+def group_idr_access_units(nalus):
+    """Group consecutive SLICE_IDR NALUs into access units (pictures).
+
+    Slices of the same picture share first_mb ordering; a new picture
+    starts when first_mb_in_slice == 0."""
+    groups = []
+    current = []
+    for n in nalus:
+        if n.nal_unit_type != NaluType.SLICE_IDR:
+            continue
+        # peek first_mb_in_slice (first ue(v) of the slice header)
+        from ...bitio import BitReader
+        from .expgolomb import read_ue
+        first_mb = read_ue(BitReader(n.rbsp))
+        if first_mb == 0 and current:
+            groups.append(current)
+            current = []
+        current.append(n)
+    if current:
+        groups.append(current)
+    return groups
+
+
+def decode_annexb(data: bytes, max_pictures: int = 0, engine: str = "np"):
+    """Decode an Annex-B byte stream; returns list of DecodedPicture.
+
+    Mirrors the reference's h264_decode() main loop (h264.c:76-188),
+    including its tolerance for per-NALU errors."""
+    dec = H264Decoder(engine=engine)
+    pictures = []
+    errors = 0
+    units = split_annexb(data)
+    # first pass: parameter sets; group IDR slices into access units
+    nalus = []
+    for off, raw in units:
+        try:
+            nalus.append(parse_nalu(raw, off))
+        except (ValueError, BitstreamError) as e:
+            trace.warning("NALU", "bad NALU at %d: %s", off, e)
+            errors += 1
+            if errors > MAX_CONSECUTIVE_ERRORS:
+                break
+    idr_groups = group_idr_access_units(nalus)
+    group_iter = iter(idr_groups)
+    for n in nalus:
+        if n.nal_unit_type == NaluType.SLICE_IDR:
+            continue
+        try:
+            dec.feed_nalu(n)
+        except UnsupportedStream:
+            raise
+        except (ValueError, BitstreamError) as e:
+            trace.warning("H264", "NALU decode error: %s", e)
+            errors += 1
+            if errors > MAX_CONSECUTIVE_ERRORS:
+                break
+    for group in group_iter:
+        try:
+            pictures.append(dec._decode_idr(group))
+        except UnsupportedStream:
+            raise
+        except (ValueError, BitstreamError) as e:
+            trace.warning("H264", "IDR decode error: %s", e)
+            errors += 1
+            if errors > MAX_CONSECUTIVE_ERRORS:
+                break
+        if max_pictures and len(pictures) >= max_pictures:
+            break
+    return pictures
