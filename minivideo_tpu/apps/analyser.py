@@ -1,0 +1,162 @@
+"""tvid-analyse: terminal media inspector.
+
+Replaces the reference's Qt GUI mini_analyser (reference
+mini_analyser/src/: track tables, sample explorer, bitrate stats) with a
+terminal/JSON analyser exposing the same data: container info, per-track
+metadata, sample tables with offsets, bitrate statistics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from ..api import mv_close, mv_open, mv_parse
+from ..codecs import SampleType, codec_name, container_name
+
+
+def analyse(path: str) -> dict:
+    media = mv_open(path)
+    try:
+        parsed = mv_parse(media)
+        info = {
+            "file": media.file_path,
+            "size_bytes": media.file_size,
+            "container": container_name(media.container),
+            "container_long": container_name(media.container, long=True),
+            "parsed": bool(parsed),
+            "tracks": [],
+        }
+        for t in media.tracks:
+            entry = {
+                "id": int(t.track_id),
+                "type": t.stream_type.name,
+                "codec": codec_name(t.stream_codec),
+                "codec_long": codec_name(t.stream_codec, long=True),
+                "sample_count": int(t.sample_count),
+                "stream_size": int(t.stream_size),
+                "duration_ms": round(float(t.stream_duration_ms), 3),
+                "bitrate_bps": int(t.bitrate),
+                "bitrate_mode": t.bitrate_mode.name,
+            }
+            if t.stream_type.name == "VIDEO":
+                entry.update(width=int(t.width), height=int(t.height),
+                             framerate=round(float(t.framerate), 3),
+                             idr_count=int(t.frame_count_idr))
+            elif t.stream_type.name == "AUDIO":
+                entry.update(channels=int(t.channel_count),
+                             sample_rate=int(t.sampling_rate),
+                             bits_per_sample=int(t.bit_per_sample))
+            info["tracks"].append(entry)
+        return info
+    finally:
+        mv_close(media)
+
+
+def sample_table(path: str, track_index: int, limit: int):
+    media = mv_open(path)
+    try:
+        mv_parse(media)
+        tracks = media.tracks
+        if track_index >= len(tracks):
+            raise IndexError(f"track {track_index} out of range "
+                             f"({len(tracks)} tracks)")
+        t = tracks[track_index]
+        rows = []
+        for i in range(min(t.sample_count, limit)):
+            rows.append({
+                "index": i,
+                "type": SampleType(int(t.sample_type[i])).name,
+                "offset": int(t.sample_offset[i]),
+                "size": int(t.sample_size[i]),
+                "pts_ms": (round(int(t.sample_pts[i]) / 1e6, 3)
+                           if t.sample_pts[i] >= 0 else None),
+            })
+        return rows
+    finally:
+        mv_close(media)
+
+
+def bitrate_graph(path: str, track_index: int, buckets: int = 40):
+    """Text bitrate-over-samples graph (analyser's QCustomPlot equivalent,
+    reference mainwindow_datas.cpp:1042-1050)."""
+    media = mv_open(path)
+    try:
+        mv_parse(media)
+        t = media.tracks[track_index]
+        sizes = t.sample_size.astype(np.float64)
+        if len(sizes) < 2:
+            return []
+        chunks = np.array_split(sizes, min(buckets, len(sizes)))
+        means = np.array([c.mean() for c in chunks])
+        peak = means.max() or 1
+        lines = []
+        for m in means:
+            bar = "#" * max(1, int(40 * m / peak))
+            lines.append(f"{int(m):>9d} B |{bar}")
+        return lines
+    finally:
+        mv_close(media)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="tvid-analyse",
+        description="Inspect media files: container, tracks, samples")
+    p.add_argument("inputs", nargs="+", help="media file(s)")
+    p.add_argument("--json", action="store_true", help="JSON output")
+    p.add_argument("--samples", type=int, metavar="TRACK", default=None,
+                   help="print the sample table of track N")
+    p.add_argument("--limit", type=int, default=30,
+                   help="max samples to print")
+    p.add_argument("--bitrate", type=int, metavar="TRACK", default=None,
+                   help="print a bitrate graph for track N")
+    args = p.parse_args(argv)
+
+    for path in args.inputs:
+        if not os.path.isfile(path):
+            print(f"error: '{path}' not found", file=sys.stderr)
+            return 1
+        if args.samples is not None:
+            rows = sample_table(path, args.samples, args.limit)
+            if args.json:
+                print(json.dumps(rows, indent=2))
+            else:
+                print(f"{'idx':>5} {'type':<12} {'offset':>10} "
+                      f"{'size':>8} {'pts_ms':>10}")
+                for r in rows:
+                    print(f"{r['index']:>5} {r['type']:<12} "
+                          f"{r['offset']:>10} {r['size']:>8} "
+                          f"{str(r['pts_ms']):>10}")
+            continue
+        if args.bitrate is not None:
+            for line in bitrate_graph(path, args.bitrate):
+                print(line)
+            continue
+        info = analyse(path)
+        if args.json:
+            print(json.dumps(info, indent=2))
+        else:
+            print(f"== {info['file']}")
+            print(f"   container: {info['container_long']} "
+                  f"({info['size_bytes']} bytes)")
+            for t in info["tracks"]:
+                extra = ""
+                if "width" in t:
+                    extra = (f" {t['width']}x{t['height']} "
+                             f"@{t['framerate']}fps {t['idr_count']} IDR")
+                elif "channels" in t:
+                    extra = (f" {t['channels']}ch {t['sample_rate']}Hz")
+                print(f"   track {t['id']}: {t['type']} {t['codec']}"
+                      f"{extra}, {t['sample_count']} samples, "
+                      f"{t['bitrate_bps'] // 1000} kb/s "
+                      f"{t['bitrate_mode']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

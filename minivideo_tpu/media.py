@@ -55,6 +55,7 @@ class Track:
 
     # codec private data (e.g. SPS/PPS from avcC), list of bytes objects
     parameter_sets: list = field(default_factory=list)
+    nal_length_size: int = 4   # AVCC NALU length prefix size (from avcC)
 
     # columnar per-sample arrays (the "bitstream map")
     sample_type: np.ndarray = field(

@@ -114,7 +114,15 @@ class H264Decoder:
 
     def _decode_idr(self, nalus):
         fs, sps, pps, slice_of_mb = self.parse_idr_syntax(nalus)
-        y, cb, cr = reconstruct_frame(fs, sps, pps, slice_of_mb)
+        if self.engine == "jax":
+            from ...ops.recon import pack_frames, reconstruct_frames
+            import numpy as _np
+            packed = pack_frames([(fs, slice_of_mb)], sps, pps)
+            yb, cbb, crb = reconstruct_frames(packed)
+            y, cb, cr = (_np.asarray(yb[0]), _np.asarray(cbb[0]),
+                         _np.asarray(crb[0]))
+        else:
+            y, cb, cr = reconstruct_frame(fs, sps, pps, slice_of_mb)
         pic = DecodedPicture(
             y=y, cb=cb, cr=cr,
             width=sps.cropped_width, height=sps.cropped_height,

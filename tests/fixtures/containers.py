@@ -1,0 +1,259 @@
+"""Minimal container *writers* for demuxer tests.
+
+No sample media ships with the reference and no muxing tools exist in the
+image, so these build tiny-but-valid MP4 / AVI / WAVE / MPEG-PS / MP3
+files around the H.264 fixture encoder's Annex-B streams (h264enc.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# MP4
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full_box(fourcc: bytes, version: int, flags: int,
+              payload: bytes) -> bytes:
+    return _box(fourcc, bytes([version]) + flags.to_bytes(3, "big")
+                + payload)
+
+
+def annexb_to_avcc_samples(annexb: bytes):
+    """Split an Annex-B stream into (sps_list, pps_list, samples) where
+    each sample is a length-prefixed AVCC access unit (one IDR)."""
+    from .h264enc import BitWriter  # noqa: F401 (import path setup)
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    from minivideo_tpu.models.h264.nalu import split_annexb
+    sps, pps, samples = [], [], []
+    current = bytearray()
+    for off, nal in split_annexb(annexb):
+        ntype = nal[0] & 0x1F
+        if ntype == 7:
+            sps.append(nal)
+        elif ntype == 8:
+            pps.append(nal)
+        elif ntype == 5:
+            first_mb_zero = (nal[1] & 0x80) != 0   # ue(0) starts with '1'
+            if first_mb_zero and current:
+                samples.append(bytes(current))
+                current = bytearray()
+            current += len(nal).to_bytes(4, "big") + nal
+        # filler and others dropped
+    if current:
+        samples.append(bytes(current))
+    return sps, pps, samples
+
+
+def write_mp4(annexb: bytes, width: int, height: int,
+              timescale: int = 30000, sample_delta: int = 1001) -> bytes:
+    """Wrap an intra-only Annex-B stream in a minimal ISO BMFF file."""
+    sps, pps, samples = annexb_to_avcc_samples(annexb)
+    assert sps and pps and samples
+
+    mdat_payload = b"".join(samples)
+    # layout: ftyp + moov + mdat; chunk offsets need moov size known first,
+    # so build moov with a placeholder and patch
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                + b"isomiso2avc1mp41")
+
+    def build_moov(chunk_base):
+        avcc = bytes([1, sps[0][1], sps[0][2], sps[0][3], 0xFF,
+                      0xE0 | len(sps)])
+        for s in sps:
+            avcc += len(s).to_bytes(2, "big") + s
+        avcc += bytes([len(pps)])
+        for p in pps:
+            avcc += len(p).to_bytes(2, "big") + p
+        avc1 = _box(b"avc1", b"\x00" * 6 + struct.pack(">H", 1)
+                    + b"\x00" * 16
+                    + struct.pack(">HH", width, height)
+                    + struct.pack(">II", 0x480000, 0x480000)
+                    + b"\x00" * 4 + struct.pack(">H", 1)
+                    + b"\x00" * 32
+                    + struct.pack(">Hh", 24, -1)
+                    + _box(b"avcC", avcc))
+        stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
+        n = len(samples)
+        stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n,
+                                                    sample_delta))
+        stss = _full_box(b"stss", 0, 0, struct.pack(">I", n) + b"".join(
+            struct.pack(">I", i + 1) for i in range(n)))
+        stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+        stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, n) + b"".join(
+            struct.pack(">I", len(s)) for s in samples))
+        offs = []
+        pos = chunk_base
+        for s in samples:
+            offs.append(pos)
+            pos += len(s)
+        stco = _full_box(b"stco", 0, 0, struct.pack(">I", n) + b"".join(
+            struct.pack(">I", o) for o in offs))
+        stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+        url = _full_box(b"url ", 0, 1, b"")
+        dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1) + url)
+        dinf = _box(b"dinf", dref)
+        vmhd = _full_box(b"vmhd", 0, 1, b"\x00" * 8)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        hdlr = _full_box(b"hdlr", 0, 0, b"\x00" * 4 + b"vide"
+                         + b"\x00" * 12 + b"tvid\x00")
+        duration = n * sample_delta
+        mdhd = _full_box(b"mdhd", 0, 0, struct.pack(
+            ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _full_box(b"tkhd", 0, 7, struct.pack(">III", 0, 0, 1)
+                         + b"\x00" * 4 + struct.pack(">I", duration)
+                         + b"\x00" * 16
+                         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000,
+                                       0, 0, 0, 0x40000000)
+                         + struct.pack(">II", width << 16, height << 16))
+        trak = _box(b"trak", tkhd + mdia)
+        mvhd = _full_box(b"mvhd", 0, 0, struct.pack(
+            ">IIII", 0, 0, timescale, duration)
+            + struct.pack(">IH", 0x10000, 0x0100) + b"\x00" * 10
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + b"\x00" * 24 + struct.pack(">I", 2))
+        return _box(b"moov", mvhd + trak)
+
+    moov0 = build_moov(0)
+    chunk_base = len(ftyp) + len(moov0) + 8
+    moov = build_moov(chunk_base)
+    assert len(moov) == len(moov0)
+    mdat = _box(b"mdat", mdat_payload)
+    return ftyp + moov + mdat
+
+
+# ---------------------------------------------------------------------------
+# AVI
+
+
+def write_avi(annexb: bytes, width: int, height: int, fps: int = 25
+              ) -> bytes:
+    """Wrap H.264 access units in a minimal AVI (idx1-indexed)."""
+    sps, pps, samples = annexb_to_avcc_samples(annexb)
+    # AVI carries Annex-B payloads; keep start codes per sample
+    frames = []
+    for i, s in enumerate(samples):
+        # convert back to annexb payload
+        from minivideo_tpu.containers.mp4 import avcc_to_annexb
+        payload = avcc_to_annexb(s)
+        if i == 0:
+            prefix = b"".join(b"\x00\x00\x00\x01" + x for x in sps + pps)
+            payload = prefix + payload
+        frames.append(payload)
+
+    def chunk(fcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fcc + struct.pack("<I", len(data)) + data + pad
+
+    strh = chunk(b"strh", b"vids" + b"H264" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height))
+    bmih = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"H264", width * height * 3, 0, 0, 0, 0)
+    strf = chunk(b"strf", bmih)
+    strl = chunk(b"LIST", b"strl" + strh + strf)
+    avih = chunk(b"avih", struct.pack(
+        "<IIIIIIIIIIIIII", 1000000 // fps, 0, 0, 0x10, len(frames), 0, 1,
+        0, width, height, 0, 0, 0, 0))
+    hdrl = chunk(b"LIST", b"hdrl" + avih + strl)
+
+    movi_items = []
+    rel_offsets = []
+    pos = 4        # after 'movi'
+    for f in frames:
+        rel_offsets.append(pos)
+        item = chunk(b"00dc", f)
+        movi_items.append(item)
+        pos += len(item)
+    movi = chunk(b"LIST", b"movi" + b"".join(movi_items))
+    idx = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        for off, f in zip(rel_offsets, frames))
+    idx1 = chunk(b"idx1", idx)
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+# ---------------------------------------------------------------------------
+# WAVE
+
+
+def write_wav(pcm: np.ndarray, rate: int = 16000) -> bytes:
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    payload = (b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+# ---------------------------------------------------------------------------
+# MPEG-PS
+
+
+def write_ps(annexb: bytes) -> bytes:
+    """Wrap H.264 access units in a minimal MPEG-2 program stream."""
+    sps, pps, samples = annexb_to_avcc_samples(annexb)
+    from minivideo_tpu.containers.mp4 import avcc_to_annexb
+    out = bytearray()
+    # pack header (MPEG-2): 00 00 01 BA + 10 bytes
+    scr = bytes([0x44, 0x00, 0x04, 0x00, 0x04, 0x01])  # minimal SCR
+    out += b"\x00\x00\x01\xba" + scr + bytes([0x01, 0x89, 0xc3]) \
+        + bytes([0xf8])
+    pts = 0
+    for i, s in enumerate(samples):
+        payload = avcc_to_annexb(s)
+        if i == 0:
+            payload = b"".join(b"\x00\x00\x00\x01" + x
+                               for x in sps + pps) + payload
+        ts = _encode_pts(pts)
+        pts += 3600
+        tail = bytes([0x80, 0x80, 5]) + ts
+        ln = len(tail) + len(payload)
+        out += b"\x00\x00\x01\xe0" + ln.to_bytes(2, "big") + tail + payload
+    out += b"\x00\x00\x01\xb9"
+    return bytes(out)
+
+
+def _encode_pts(ts):
+    return bytes([
+        (0b0010 << 4) | (((ts >> 30) & 7) << 1) | 1,
+        (ts >> 22) & 0xFF,
+        (((ts >> 15) & 0x7F) << 1) | 1,
+        (ts >> 7) & 0xFF,
+        ((ts & 0x7F) << 1) | 1])
+
+
+# ---------------------------------------------------------------------------
+# MP3 (layer III CBR, silent frames)
+
+
+def write_mp3(n_frames: int = 32, bitrate_idx: int = 9,
+              samplerate_idx: int = 0) -> bytes:
+    """Valid MPEG-1 Layer III CBR stream of empty frames + ID3v2 tag."""
+    bitrate = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320)[bitrate_idx] * 1000
+    samplerate = (44100, 48000, 32000)[samplerate_idx]
+    out = bytearray()
+    # small ID3v2 tag
+    tag_payload = b"\x00" * 20
+    out += b"ID3\x03\x00\x00" + bytes(
+        [(len(tag_payload) >> 21) & 0x7F, (len(tag_payload) >> 14) & 0x7F,
+         (len(tag_payload) >> 7) & 0x7F, len(tag_payload) & 0x7F])
+    out += tag_payload
+    size = 1152 * bitrate // (8 * samplerate)
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (samplerate_idx << 2),
+                 0x00])
+    for _ in range(n_frames):
+        out += hdr + b"\x00" * (size - 4)
+    return bytes(out)

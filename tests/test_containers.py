@@ -1,0 +1,127 @@
+"""Container demuxer tests: probe + demux + end-to-end decode through the
+public API for MP4 / AVI / WAVE / MPEG-PS / MP3 / Annex-B ES."""
+
+import numpy as np
+import pytest
+
+from fixtures import containers as C
+from fixtures.h264enc import make_stream
+from minivideo_tpu.api import mv_close, mv_decode, mv_open, mv_parse
+from minivideo_tpu.codecs import Codec, Container, StreamType
+from minivideo_tpu.models.h264.decoder import decode_annexb
+
+
+@pytest.fixture(scope="module")
+def annexb():
+    return make_stream(width_mbs=4, height_mbs=3, n_pictures=3, seed=77,
+                       mb_kinds=("i16", "i4"), density=0.35,
+                       allow_pcm=False)
+
+
+def _open(tmp_path, name, data):
+    p = tmp_path / name
+    p.write_bytes(data)
+    return mv_open(str(p))
+
+
+def test_es_roundtrip(annexb, tmp_path):
+    m = _open(tmp_path, "clip.264", annexb)
+    assert m.container == Container.ES
+    assert mv_parse(m)
+    t = m.tracks_video[0]
+    assert t.frame_count_idr == 3
+    pics = mv_decode(m, picture_number=3)
+    ref = decode_annexb(annexb)
+    assert len(pics) == 3
+    for a, b in zip(pics, ref):
+        np.testing.assert_array_equal(a.y, b.y)
+    mv_close(m)
+
+
+def test_mp4_demux_and_decode(annexb, tmp_path):
+    mp4 = C.write_mp4(annexb, 64, 48)
+    m = _open(tmp_path, "clip.mp4", mp4)
+    assert m.container == Container.MP4
+    assert mv_parse(m)
+    t = m.tracks_video[0]
+    assert t.stream_codec == Codec.H264
+    assert t.width == 64 and t.height == 48
+    assert t.sample_count == 3
+    assert t.frame_count_idr == 3
+    assert len(t.parameter_sets) == 2          # SPS + PPS from avcC
+    # timestamps: 30000/1001 timescale
+    assert t.sample_pts[1] == int(1001 * 1e9 / 30000)
+    pics = mv_decode(m, picture_number=3)
+    ref = decode_annexb(annexb)
+    assert len(pics) == 3
+    for a, b in zip(pics, ref):
+        np.testing.assert_array_equal(a.y, b.y)
+        np.testing.assert_array_equal(a.cb, b.cb)
+    mv_close(m)
+
+
+def test_avi_demux_and_decode(annexb, tmp_path):
+    avi = C.write_avi(annexb, 64, 48)
+    m = _open(tmp_path, "clip.avi", avi)
+    assert m.container == Container.AVI
+    assert mv_parse(m)
+    t = m.tracks_video[0]
+    assert t.sample_count == 3
+    assert t.framerate == 25.0
+    pics = mv_decode(m, picture_number=3)
+    ref = decode_annexb(annexb)
+    assert len(pics) == 3
+    for a, b in zip(pics, ref):
+        np.testing.assert_array_equal(a.y, b.y)
+    mv_close(m)
+
+
+def test_wave_demux(tmp_path):
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(16000) * 3000).astype(np.int16)
+    m = _open(tmp_path, "tone.wav", C.write_wav(pcm, 16000))
+    assert m.container == Container.WAVE
+    assert mv_parse(m)
+    t = m.tracks_audio[0]
+    assert t.stream_codec == Codec.LPCM
+    assert t.sampling_rate == 16000
+    assert t.sample_count == 1
+    assert t.stream_size == 32000
+    assert abs(t.stream_duration_ms - 1000.0) < 1
+    mv_close(m)
+
+
+def test_ps_demux_and_decode(annexb, tmp_path):
+    ps = C.write_ps(annexb)
+    m = _open(tmp_path, "clip.mpg", ps)
+    assert m.container == Container.MPEG_PS
+    assert mv_parse(m)
+    t = m.tracks_video[0]
+    assert t.stream_codec == Codec.H264
+    assert t.sample_count == 3
+    assert t.sample_pts[1] > t.sample_pts[0] >= 0
+    pics = mv_decode(m, picture_number=3)
+    assert len(pics) == 3
+    ref = decode_annexb(annexb)
+    for a, b in zip(pics, ref):
+        np.testing.assert_array_equal(a.y, b.y)
+    mv_close(m)
+
+
+def test_mp3_demux(tmp_path):
+    m = _open(tmp_path, "tone.mp3", C.write_mp3(n_frames=32))
+    assert m.container == Container.ES_MP3
+    assert mv_parse(m)
+    t = m.tracks_audio[0]
+    assert t.stream_codec == Codec.MPEG_L3
+    assert t.sample_count == 32
+    assert t.sampling_rate == 44100
+    assert t.bitrate_mode.name == "CBR"
+    mv_close(m)
+
+
+def test_probe_misnamed_extension(annexb, tmp_path):
+    """Magic bytes beat the extension (reference import.c order)."""
+    m = _open(tmp_path, "actually_mp4.wav", C.write_mp4(annexb, 64, 48))
+    assert m.container == Container.MP4
+    mv_close(m)

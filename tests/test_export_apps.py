@@ -1,0 +1,162 @@
+"""Export writers + CLI app tests (thumbnailer / extractor / analyser)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fixtures import containers as C
+from fixtures.h264enc import make_stream
+from minivideo_tpu.export import image as IMG
+
+PIL = pytest.importorskip("PIL.Image")
+
+
+@pytest.fixture(scope="module")
+def planes():
+    rng = np.random.default_rng(1)
+    y = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    cb = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    cr = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    return y, cb, cr
+
+
+def test_png_writer_roundtrip(planes, tmp_path):
+    y, cb, cr = planes
+    rgb = IMG.yuv420_to_rgb(y, cb, cr)
+    path = tmp_path / "out.png"
+    IMG.write_png(str(path), rgb)
+    img = np.asarray(PIL.open(path).convert("RGB"))
+    np.testing.assert_array_equal(img, rgb)
+
+
+def test_bmp_writer_roundtrip(planes, tmp_path):
+    y, cb, cr = planes
+    rgb = IMG.yuv420_to_rgb(y, cb, cr)
+    path = tmp_path / "out.bmp"
+    IMG.write_bmp(str(path), rgb)
+    img = np.asarray(PIL.open(path).convert("RGB"))
+    np.testing.assert_array_equal(img, rgb)
+
+
+def test_tga_writer_roundtrip(planes, tmp_path):
+    y, cb, cr = planes
+    rgb = IMG.yuv420_to_rgb(y, cb, cr)
+    path = tmp_path / "out.tga"
+    IMG.write_tga(str(path), rgb)
+    img = np.asarray(PIL.open(path).convert("RGB"))
+    np.testing.assert_array_equal(img, rgb)
+
+
+def test_jpeg_writer_decodable(planes, tmp_path):
+    y, cb, cr = planes
+    path = tmp_path / "out.jpg"
+    IMG.write_jpeg(str(path), y, cb, cr, quality=90)
+    img = PIL.open(path)
+    img.load()
+    assert img.size == (64, 48)
+    # lossy: smooth gradient should roundtrip within tolerance
+    ys = np.tile(np.arange(64, dtype=np.uint8) * 2, (48, 1))
+    path2 = tmp_path / "grad.jpg"
+    IMG.write_jpeg(str(path2), ys, np.full((24, 32), 128, np.uint8),
+                   np.full((24, 32), 128, np.uint8), quality=95)
+    dec = np.asarray(PIL.open(path2).convert("YCbCr"))[:, :, 0]
+    assert abs(dec.astype(int) - ys.astype(int)).mean() < 3.0
+
+
+def test_yuv_writer(planes, tmp_path):
+    y, cb, cr = planes
+    path = tmp_path / "out.yuv"
+    IMG.write_yuv420(str(path), y, cb, cr)
+    raw = np.fromfile(path, dtype=np.uint8)
+    assert raw.size == 48 * 64 * 3 // 2
+    np.testing.assert_array_equal(raw[:48 * 64].reshape(48, 64), y)
+
+
+def _run_cli(mod, *args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    return subprocess.run(
+        [sys.executable, "-m", f"minivideo_tpu.apps.{mod}", *args],
+        capture_output=True, text=True, env=env, timeout=300)
+
+
+@pytest.fixture(scope="module")
+def clip264(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clips")
+    data = make_stream(width_mbs=4, height_mbs=3, n_pictures=2, seed=88,
+                       mb_kinds=("i16", "i4"), density=0.3,
+                       allow_pcm=False)
+    p = d / "clip.264"
+    p.write_bytes(data)
+    mp4 = d / "clip.mp4"
+    mp4.write_bytes(C.write_mp4(data, 64, 48))
+    return p, mp4
+
+
+def test_thumbnailer_cli(clip264, tmp_path):
+    es, mp4 = clip264
+    r = _run_cli("thumbnailer", "-i", str(mp4), "-o", str(tmp_path),
+                 "-f", "png", "-n", "2")
+    assert r.returncode == 0, r.stderr
+    outs = r.stdout.strip().splitlines()
+    assert len(outs) == 2
+    for o in outs:
+        img = PIL.open(o)
+        assert img.size == (64, 48)
+
+
+def test_thumbnailer_cli_yuv(clip264, tmp_path):
+    es, _ = clip264
+    r = _run_cli("thumbnailer", "-i", str(es), "-o", str(tmp_path),
+                 "-f", "yuv420", "-n", "1")
+    assert r.returncode == 0, r.stderr
+    out = r.stdout.strip()
+    assert os.path.getsize(out) == 64 * 48 * 3 // 2
+
+
+def test_thumbnailer_cli_missing_input(tmp_path):
+    r = _run_cli("thumbnailer", "-i", "/nonexistent.mp4",
+                 "-o", str(tmp_path))
+    assert r.returncode == 1
+    assert "not found" in r.stderr
+
+
+def test_extractor_cli(clip264, tmp_path):
+    _, mp4 = clip264
+    r = _run_cli("extractor", "-i", str(mp4), "-o", str(tmp_path), "-v")
+    assert r.returncode == 0, r.stderr
+    out = r.stdout.strip()
+    assert out.endswith(".264")
+    # extracted ES must itself decode
+    from minivideo_tpu.models.h264.decoder import decode_annexb
+    pics = decode_annexb(open(out, "rb").read())
+    assert len(pics) == 2
+
+
+def test_extractor_cli_pes(clip264, tmp_path):
+    _, mp4 = clip264
+    r = _run_cli("extractor", "-i", str(mp4), "-o", str(tmp_path), "-v",
+                 "--pes")
+    assert r.returncode == 0, r.stderr
+    out = r.stdout.strip()
+    data = open(out, "rb").read()
+    assert data[:4] == b"\x00\x00\x01\xe0"
+
+
+def test_analyser_cli(clip264):
+    es, mp4 = clip264
+    r = _run_cli("analyser", str(mp4), "--json")
+    assert r.returncode == 0, r.stderr
+    info = json.loads(r.stdout)
+    assert info["container"] == "MP4"
+    assert info["tracks"][0]["codec"] == "H264"
+    assert info["tracks"][0]["width"] == 64
+    r2 = _run_cli("analyser", str(es), "--samples", "0", "--json")
+    rows = json.loads(r2.stdout)
+    assert len(rows) > 0
+    assert rows[0]["type"] in ("VIDEO_PARAM", "VIDEO_SYNC")

@@ -12,6 +12,7 @@ from minivideo_tpu.models.h264.nalu import parse_nalu, split_annexb
 from minivideo_tpu.models.h264.recon_np import reconstruct_frame
 from minivideo_tpu.ops import transform as tj
 from minivideo_tpu.ops.recon import pack_frames, reconstruct_frames
+from minivideo_tpu.ops.recon_wave import reconstruct_frames_wave
 
 
 def _parse_stream(data):
@@ -62,15 +63,21 @@ def test_transforms_bitexact(qp):
     np.testing.assert_array_equal(wantc, gotc)
 
 
-def _compare(data):
+def _compare(data, engines=("scatter", "wave")):
     frames, sps, pps = _parse_stream(data)
     packed = pack_frames(frames, sps, pps)
-    yj, cbj, crj = (np.asarray(a) for a in reconstruct_frames(packed))
-    for i, (fs, som) in enumerate(frames):
-        y, cb, cr = reconstruct_frame(fs, sps, pps, som)
-        np.testing.assert_array_equal(y, yj[i], err_msg=f"Y pic {i}")
-        np.testing.assert_array_equal(cb, cbj[i], err_msg=f"Cb pic {i}")
-        np.testing.assert_array_equal(cr, crj[i], err_msg=f"Cr pic {i}")
+    for engine in engines:
+        fn = (reconstruct_frames if engine == "scatter"
+              else reconstruct_frames_wave)
+        yj, cbj, crj = (np.asarray(a) for a in fn(packed))
+        for i, (fs, som) in enumerate(frames):
+            y, cb, cr = reconstruct_frame(fs, sps, pps, som)
+            np.testing.assert_array_equal(
+                y, yj[i], err_msg=f"Y pic {i} [{engine}]")
+            np.testing.assert_array_equal(
+                cb, cbj[i], err_msg=f"Cb pic {i} [{engine}]")
+            np.testing.assert_array_equal(
+                cr, crj[i], err_msg=f"Cr pic {i} [{engine}]")
 
 
 @pytest.mark.parametrize("kinds", [("i16",), ("i4",), ("i16", "i4")])
