@@ -100,17 +100,32 @@ class H264Decoder:
                 fs = FrameSyntax(sps.pic_width_in_mbs,
                                  sps.pic_height_in_map_units)
                 slice_of_mb = np.full(fs.n_mbs, -1, dtype=np.int32)
-            if pps.entropy_coding_mode_flag:
-                parser = CabacSliceParser(nalu.rbsp, sh, sps, pps, fs)
-            else:
-                from ...bitio import BitReader
-                r = BitReader(nalu.rbsp, start_bit=sh.data_bit_offset)
-                parser = CavlcSliceParser(r, sh, sps, pps, fs)
-            n = parser.parse_slice_data()
+            n = self._parse_slice(nalu, sh, sps, pps, fs)
             slice_of_mb[sh.first_mb_in_slice:sh.first_mb_in_slice + n] = snum
             trace.t1("SLICE", "decoded slice: %d MBs from %d",
                      n, sh.first_mb_in_slice)
         return fs, sps, pps, slice_of_mb
+
+    def _parse_slice(self, nalu, sh, sps, pps, fs):
+        """Entropy-decode one slice into fs: native C++ fast path when
+        available, Python parsers otherwise (or when
+        MINIVIDEO_TPU_NO_NATIVE=1)."""
+        import os as _os
+        if _os.environ.get("MINIVIDEO_TPU_NO_NATIVE") != "1":
+            from ...native import available, parse_slice_native
+            if available():
+                return parse_slice_native(
+                    fs, nalu.rbsp, sh.data_bit_offset,
+                    sh.first_mb_in_slice, sh.qp,
+                    bool(pps.entropy_coding_mode_flag),
+                    bool(pps.transform_8x8_mode_flag))
+        if pps.entropy_coding_mode_flag:
+            parser = CabacSliceParser(nalu.rbsp, sh, sps, pps, fs)
+        else:
+            from ...bitio import BitReader
+            r = BitReader(nalu.rbsp, start_bit=sh.data_bit_offset)
+            parser = CavlcSliceParser(r, sh, sps, pps, fs)
+        return parser.parse_slice_data()
 
     def _decode_idr(self, nalus):
         fs, sps, pps, slice_of_mb = self.parse_idr_syntax(nalus)

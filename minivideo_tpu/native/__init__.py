@@ -1,0 +1,102 @@
+"""ctypes bindings for the native host runtime (libminivideo_native.so).
+
+Build with `make -C minivideo_tpu/native` (auto-attempted on first use).
+`parse_slice_native` is a drop-in replacement for the Python entropy
+parsers: it fills the same FrameSyntax arrays ~100x faster.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .. import trace
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libminivideo_native.so")
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(["make", "-C", _DIR], capture_output=True,
+                           text=True, timeout=300)
+        if r.returncode != 0:
+            trace.warning("MAIN", "native build failed: %s", r.stderr[-400:])
+            return False
+        return True
+    except Exception as e:  # noqa: BLE001
+        trace.warning("MAIN", "native build error: %s", e)
+        return False
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        trace.warning("MAIN", "native load failed: %s", e)
+        return None
+    lib.mv_parse_slice.restype = ctypes.c_int64
+    lib.mv_parse_slice.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# buffer order must match entropy.cc's mv_parse_slice
+_FIELDS = ("mb_kind", "qpy", "i16_mode", "chroma_mode", "luma4x4_modes",
+           "luma8x8_modes", "cbp_luma", "cbp_chroma", "luma_dc", "luma_ac",
+           "luma8x8_coeff", "chroma_dc", "chroma_ac", "total_coeff_luma",
+           "total_coeff_chroma", "cbf_luma_dc", "cbf_luma", "cbf_luma8x8",
+           "cbf_chroma_dc", "cbf_chroma", "transform8x8", "parsed")
+
+
+def parse_slice_native(fs, rbsp: bytes, data_bit_offset: int,
+                       first_mb: int, slice_qp: int, entropy_cabac: bool,
+                       transform8x8_mode: bool) -> int:
+    """Parse one I slice into the FrameSyntax `fs`.  Returns MB count.
+
+    Raises RuntimeError on parse errors (mirrors the Python parsers'
+    BitstreamError)."""
+    lib = load()
+    assert lib is not None
+    bufs = (ctypes.c_void_p * len(_FIELDS))()
+    for i, name in enumerate(_FIELDS):
+        arr = getattr(fs, name)
+        assert isinstance(arr, np.ndarray) and arr.flags["C_CONTIGUOUS"]
+        bufs[i] = arr.ctypes.data_as(ctypes.c_void_p).value
+    n = lib.mv_parse_slice(
+        rbsp, len(rbsp), data_bit_offset,
+        fs.width_mbs, fs.height_mbs, first_mb, slice_qp,
+        1 if entropy_cabac else 0, 1 if transform8x8_mode else 0, bufs)
+    if n < 0:
+        raise RuntimeError(f"native slice parse failed (code {n})")
+    # PCM macroblocks: native stored raw pixels in the coefficient
+    # buffers; mirror them into the FrameSyntax dicts for the oracle path
+    from ..models.h264.syntax import KIND_IPCM
+    for mb in np.nonzero(fs.mb_kind == KIND_IPCM)[0]:
+        mb = int(mb)
+        if mb in fs.pcm_y:
+            continue
+        fs.pcm_y[mb] = fs.luma_ac[mb].reshape(16, 16).astype(np.uint8)
+        c = fs.chroma_ac[mb].reshape(2, 8, 8).astype(np.uint8)
+        fs.pcm_cb[mb] = c[0]
+        fs.pcm_cr[mb] = c[1]
+    return int(n)

@@ -1,0 +1,991 @@
+// Native H.264 I-slice entropy decoder (CAVLC + CABAC).
+//
+// TPU-native equivalent of the reference's C hot path (SURVEY.md §3.3:
+// CABAC bin decoding and CAVLC table decoding are the top host costs).
+// This is a line-for-line port of the *Python* implementation in
+// minivideo_tpu/models/h264/{syntax,cavlc,cabac}.py (not of the reference
+// C code); parity with the Python parser is enforced by
+// tests/test_native.py on fuzzed streams.
+//
+// The C ABI writes directly into caller-provided numpy buffers laid out
+// exactly like FrameSyntax (see bindings in minivideo_tpu/native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+
+#include "h264_tables.h"
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// bit reader (MSB-first)
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbits;
+  int64_t pos;
+  bool error = false;
+
+  int read_bit() {
+    if (pos >= nbits) { error = true; return 0; }
+    int b = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+    pos++;
+    return b;
+  }
+  uint32_t read_bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
+    return v;
+  }
+  void align() { pos = (pos + 7) & ~7LL; }
+  bool more_rbsp_data(int64_t stop_bit_pos) const {
+    return pos < stop_bit_pos;
+  }
+};
+
+// exp-golomb
+static uint32_t read_ue(BitReader& r) {
+  int zeros = 0;
+  while (r.read_bit() == 0) {
+    if (++zeros > 32 || r.error) { r.error = true; return 0; }
+  }
+  if (zeros == 0) return 0;
+  return (1u << zeros) - 1 + r.read_bits(zeros);
+}
+static int32_t read_se(BitReader& r) {
+  uint32_t k = read_ue(r);
+  if (k & 1) return (int32_t)((k + 1) >> 1);
+  return -(int32_t)(k >> 1);
+}
+
+// VLC prefix decode over (len, code, v0, v1) quad tables
+static bool read_vlc(BitReader& r, const int16_t* tab, int n, int max_len,
+                     int* v0, int* v1) {
+  int code = 0;
+  for (int ln = 1; ln <= max_len; ln++) {
+    code = (code << 1) | r.read_bit();
+    if (r.error) return false;
+    for (int i = 0; i < n; i++) {
+      if (tab[i * 4] == ln && tab[i * 4 + 1] == code) {
+        *v0 = tab[i * 4 + 2];
+        *v1 = tab[i * 4 + 3];
+        return true;
+      }
+    }
+  }
+  return false;
+}
+
+// ---------------------------------------------------------------------------
+// frame buffers (must match the ctypes struct in native/__init__.py)
+
+struct FrameBufs {
+  int8_t* mb_kind;
+  int32_t* qpy;
+  int8_t* i16_mode;
+  int8_t* chroma_mode;
+  int8_t* luma4x4_modes;     // [n][16]
+  int8_t* luma8x8_modes;     // [n][4]
+  int8_t* cbp_luma;
+  int8_t* cbp_chroma;
+  int32_t* luma_dc;          // [n][16] raster
+  int32_t* luma_ac;          // [n][16][16] raster per 4x4 blk
+  int32_t* luma8x8_coeff;    // [n][4][64] raster per 8x8 blk
+  int32_t* chroma_dc;        // [n][2][4]
+  int32_t* chroma_ac;        // [n][2][4][16]
+  int16_t* total_coeff_luma;    // [n][16]
+  int16_t* total_coeff_chroma;  // [n][2][4]
+  int8_t* cbf_luma_dc;
+  int8_t* cbf_luma;          // [n][16]
+  int8_t* cbf_luma8x8;       // [n][4]
+  int8_t* cbf_chroma_dc;     // [n][2]
+  int8_t* cbf_chroma;        // [n][2][4]
+  int8_t* transform8x8;
+  uint8_t* parsed;
+};
+
+constexpr int KIND_I4 = 0, KIND_I16 = 1, KIND_PCM = 2, KIND_I8 = 3;
+
+// ---------------------------------------------------------------------------
+// spatial neighbor derivations (port of spatial.py)
+
+struct Geo {
+  int wmb, hmb, first_mb;
+  void mb_neighbors(int mb, int* a, int* b) const {
+    int x = mb % wmb, y = mb / wmb;
+    *a = (x > 0) ? mb - 1 : -1;
+    *b = (y > 0) ? mb - wmb : -1;
+    if (*a < first_mb) *a = -1;
+    if (*b < first_mb) *b = -1;
+  }
+  static int blk4_at(int x, int y) {
+    return 8 * (y / 8) + 4 * (x / 8) + 2 * ((y % 8) / 4) + ((x % 8) / 4);
+  }
+  // which: 0 = A (left), 1 = B (up)
+  bool luma4_nbr(int mb, int blk, int which, int* mb_n, int* blk_n) const {
+    int x = kBlkX[blk], y = kBlkY[blk];
+    int xn = which == 0 ? x - 4 : x;
+    int yn = which == 0 ? y : y - 4;
+    int a, b;
+    if (xn < 0) {
+      mb_neighbors(mb, &a, &b);
+      if (a < 0) return false;
+      *mb_n = a; *blk_n = blk4_at(xn + 16, yn);
+      return true;
+    }
+    if (yn < 0) {
+      mb_neighbors(mb, &a, &b);
+      if (b < 0) return false;
+      *mb_n = b; *blk_n = blk4_at(xn, yn + 16);
+      return true;
+    }
+    *mb_n = mb; *blk_n = blk4_at(xn, yn);
+    return true;
+  }
+  bool luma8_nbr(int mb, int blk8, int which, int* mb_n, int* blk_n) const {
+    int x = (blk8 % 2) * 8, y = (blk8 / 2) * 8;
+    int xn = which == 0 ? x - 8 : x;
+    int yn = which == 0 ? y : y - 8;
+    int a, b;
+    if (xn < 0) {
+      mb_neighbors(mb, &a, &b);
+      if (a < 0) return false;
+      *mb_n = a; *blk_n = (yn / 8) * 2 + (xn + 16) / 8;
+      return true;
+    }
+    if (yn < 0) {
+      mb_neighbors(mb, &a, &b);
+      if (b < 0) return false;
+      *mb_n = b; *blk_n = ((yn + 16) / 8) * 2 + xn / 8;
+      return true;
+    }
+    *mb_n = mb; *blk_n = (yn / 8) * 2 + xn / 8;
+    return true;
+  }
+  bool chroma4_nbr(int mb, int blk, int which, int* mb_n, int* blk_n) const {
+    int x = (blk % 2) * 4, y = (blk / 2) * 4;
+    int xn = which == 0 ? x - 4 : x;
+    int yn = which == 0 ? y : y - 4;
+    int a, b;
+    if (xn < 0) {
+      mb_neighbors(mb, &a, &b);
+      if (a < 0) return false;
+      *mb_n = a; *blk_n = (yn / 4) * 2 + (xn + 8) / 4;
+      return true;
+    }
+    if (yn < 0) {
+      mb_neighbors(mb, &a, &b);
+      if (b < 0) return false;
+      *mb_n = b; *blk_n = ((yn + 8) / 4) * 2 + xn / 4;
+      return true;
+    }
+    *mb_n = mb; *blk_n = (yn / 4) * 2 + xn / 4;
+    return true;
+  }
+};
+
+// intra mode prediction (port of IntraModeResolver)
+struct ModePred {
+  const FrameBufs* f;
+  Geo g;
+  int pred4(int mb, int blk) const {
+    int preds[2];
+    for (int which = 0; which < 2; which++) {
+      int mb_n, blk_n;
+      if (!g.luma4_nbr(mb, blk, which, &mb_n, &blk_n)
+          || !f->parsed[mb_n]) { preds[which] = -1; continue; }
+      int k = f->mb_kind[mb_n];
+      if (k == KIND_I4) preds[which] = f->luma4x4_modes[mb_n * 16 + blk_n];
+      else if (k == KIND_I8)
+        preds[which] = f->luma8x8_modes[mb_n * 4 + (blk_n >> 2)];
+      else preds[which] = 2;
+    }
+    if (preds[0] < 0 || preds[1] < 0) return 2;
+    return preds[0] < preds[1] ? preds[0] : preds[1];
+  }
+  int pred8(int mb, int blk8) const {
+    int preds[2];
+    for (int which = 0; which < 2; which++) {
+      int mb_n, blk_n;
+      if (!g.luma8_nbr(mb, blk8, which, &mb_n, &blk_n)
+          || !f->parsed[mb_n]) { preds[which] = -1; continue; }
+      int k = f->mb_kind[mb_n];
+      if (k == KIND_I8) preds[which] = f->luma8x8_modes[mb_n * 4 + blk_n];
+      else if (k == KIND_I4) {
+        int nsub = which == 0 ? 1 : 2;
+        preds[which] = f->luma4x4_modes[mb_n * 16 + blk_n * 4 + nsub];
+      } else preds[which] = 2;
+    }
+    if (preds[0] < 0 || preds[1] < 0) return 2;
+    return preds[0] < preds[1] ? preds[0] : preds[1];
+  }
+};
+
+// ---------------------------------------------------------------------------
+// CAVLC
+
+struct CavlcCtx {
+  BitReader* r;
+  FrameBufs* f;
+  Geo g;
+  int64_t stop_bit;
+
+  int nc_luma(int mb, int blk) const {
+    int ns[2];
+    for (int which = 0; which < 2; which++) {
+      int mb_n, blk_n;
+      if (!g.luma4_nbr(mb, blk, which, &mb_n, &blk_n)
+          || !f->parsed[mb_n]) { ns[which] = -1; continue; }
+      if (f->mb_kind[mb_n] == KIND_PCM) ns[which] = 16;
+      else ns[which] = f->total_coeff_luma[mb_n * 16 + blk_n];
+    }
+    if (ns[0] >= 0 && ns[1] >= 0) return (ns[0] + ns[1] + 1) >> 1;
+    return ns[0] >= 0 ? ns[0] : (ns[1] >= 0 ? ns[1] : 0);
+  }
+  int nc_chroma(int mb, int ic, int blk) const {
+    int ns[2];
+    for (int which = 0; which < 2; which++) {
+      int mb_n, blk_n;
+      if (!g.chroma4_nbr(mb, blk, which, &mb_n, &blk_n)
+          || !f->parsed[mb_n]) { ns[which] = -1; continue; }
+      if (f->mb_kind[mb_n] == KIND_PCM) ns[which] = 16;
+      else ns[which] = f->total_coeff_chroma[(mb_n * 2 + ic) * 4 + blk_n];
+    }
+    if (ns[0] >= 0 && ns[1] >= 0) return (ns[0] + ns[1] + 1) >> 1;
+    return ns[0] >= 0 ? ns[0] : (ns[1] >= 0 ? ns[1] : 0);
+  }
+
+  // returns TotalCoeff; fills levels[max] in scan order
+  int residual(int nC, int start, int end, int maxn, int* levels) {
+    BitReader& rd = *r;
+    memset(levels, 0, sizeof(int) * maxn);
+    int tc = 0, t1 = 0;
+    if (nC >= 8) {
+      uint32_t v = rd.read_bits(6);
+      if (v == 3) { tc = 0; t1 = 0; }
+      else { tc = (int)(v >> 2) + 1; t1 = (int)(v & 3); }
+    } else if (nC < 0) {
+      if (!read_vlc(rd, kCoeffTokCdc, kCoeffTokSizes[3], 8, &tc, &t1))
+        { rd.error = true; return -1; }
+    } else {
+      int cls = nC < 2 ? 0 : (nC < 4 ? 1 : 2);
+      const int16_t* tab = cls == 0 ? kCoeffTok0
+                          : (cls == 1 ? kCoeffTok1 : kCoeffTok2);
+      if (!read_vlc(rd, tab, kCoeffTokSizes[cls], 16, &tc, &t1))
+        { rd.error = true; return -1; }
+    }
+    if (tc == 0) return 0;
+    if (tc > end - start + 1) { rd.error = true; return -1; }
+
+    int lv[64];
+    int suffix_len = (tc > 10 && t1 < 3) ? 1 : 0;
+    for (int i = 0; i < tc; i++) {
+      if (i < t1) { lv[i] = 1 - 2 * rd.read_bit(); continue; }
+      int prefix = 0;
+      while (rd.read_bit() == 0) {
+        if (++prefix > 32 || rd.error) { rd.error = true; return -1; }
+      }
+      int suffix_size = suffix_len;
+      if (prefix == 14 && suffix_len == 0) suffix_size = 4;
+      else if (prefix >= 15) suffix_size = prefix - 3;
+      int suffix = suffix_size > 0 ? (int)rd.read_bits(suffix_size) : 0;
+      int code = ((prefix < 15 ? prefix : 15) << suffix_len) + suffix;
+      if (prefix >= 15 && suffix_len == 0) code += 15;
+      if (prefix >= 16) code += (1 << (prefix - 3)) - 4096;
+      if (i == t1 && t1 < 3) code += 2;
+      lv[i] = (code % 2 == 0) ? (code + 2) >> 1 : -((code + 1) >> 1);
+      if (suffix_len == 0) suffix_len = 1;
+      int a = lv[i] < 0 ? -lv[i] : lv[i];
+      if (a > (3 << (suffix_len - 1)) && suffix_len < 6) suffix_len++;
+    }
+
+    int total_zeros = 0;
+    if (tc < end - start + 1) {
+      int dummy;
+      if (maxn == 4) {
+        if (!read_vlc(rd, kTotalZerosCdcTabs[tc - 1],
+                      kTotalZerosCdcSizes[tc - 1], 9, &total_zeros, &dummy))
+          { rd.error = true; return -1; }
+      } else {
+        if (!read_vlc(rd, kTotalZerosTabs[tc - 1],
+                      kTotalZerosSizes[tc - 1], 9, &total_zeros, &dummy))
+          { rd.error = true; return -1; }
+      }
+    }
+
+    int runs[64];
+    int zeros_left = total_zeros;
+    for (int i = 0; i < tc - 1; i++) {
+      runs[i] = 0;
+      if (zeros_left > 0) {
+        int zl = zeros_left < 7 ? zeros_left : 7;
+        int dummy;
+        if (!read_vlc(rd, kRunBeforeTabs[zl - 1], kRunBeforeSizes[zl - 1],
+                      11, &runs[i], &dummy)) { rd.error = true; return -1; }
+        zeros_left -= runs[i];
+        if (zeros_left < 0) { rd.error = true; return -1; }
+      }
+    }
+    runs[tc - 1] = zeros_left;
+
+    int coeff_num = -1;
+    for (int i = tc - 1; i >= 0; i--) {
+      coeff_num += runs[i] + 1;
+      levels[start + coeff_num] = lv[i];
+    }
+    return tc;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// CABAC
+
+struct CabacEngine {
+  BitReader* r;
+  int state[460];
+  int mps[460];
+  uint32_t range, offset;
+
+  void init_contexts(int qp) {
+    if (qp < 0) qp = 0;
+    if (qp > 51) qp = 51;
+    for (int i = 0; i < 460; i++) {
+      int m = kCtxInitI[i * 2], n = kCtxInitI[i * 2 + 1];
+      int pre = ((m * qp) >> 4) + n;
+      if (pre < 1) pre = 1;
+      if (pre > 126) pre = 126;
+      if (pre <= 63) { state[i] = 63 - pre; mps[i] = 0; }
+      else { state[i] = pre - 64; mps[i] = 1; }
+    }
+  }
+  void init_engine() {
+    range = 510;
+    offset = r->read_bits(9);
+  }
+  int decision(int ctx) {
+    int st = state[ctx];
+    uint32_t r_lps = kRangeTabLps[st * 4 + ((range >> 6) & 3)];
+    range -= r_lps;
+    int bin;
+    if (offset >= range) {
+      bin = 1 - mps[ctx];
+      offset -= range;
+      range = r_lps;
+      if (st == 0) mps[ctx] = 1 - mps[ctx];
+      state[ctx] = kTransIdxLps[st];
+    } else {
+      bin = mps[ctx];
+      state[ctx] = kTransIdxMps[st];
+    }
+    while (range < 256) {
+      range <<= 1;
+      offset = (offset << 1) | (uint32_t)r->read_bit();
+    }
+    return bin;
+  }
+  int bypass() {
+    offset = (offset << 1) | (uint32_t)r->read_bit();
+    if (offset >= range) { offset -= range; return 1; }
+    return 0;
+  }
+  int terminate() {
+    range -= 2;
+    if (offset >= range) return 1;
+    while (range < 256) {
+      range <<= 1;
+      offset = (offset << 1) | (uint32_t)r->read_bit();
+    }
+    return 0;
+  }
+};
+
+struct CabacCtx {
+  BitReader* r;
+  FrameBufs* f;
+  Geo g;
+  CabacEngine e;
+  int prev_qp_delta = 0;
+
+  int nbr(int mb, int which) const {
+    int a, b;
+    g.mb_neighbors(mb, &a, &b);
+    int n = which == 0 ? a : b;
+    if (n >= 0 && f->parsed[n]) return n;
+    return -1;
+  }
+  int cond_mbtype(int mb) const {
+    int inc = 0;
+    for (int which = 0; which < 2; which++) {
+      int n = nbr(mb, which);
+      if (n >= 0 && f->mb_kind[n] != KIND_I4 && f->mb_kind[n] != KIND_I8)
+        inc++;
+    }
+    return inc;
+  }
+  int cond_t8(int mb) const {
+    int inc = 0;
+    for (int which = 0; which < 2; which++) {
+      int n = nbr(mb, which);
+      if (n >= 0 && f->transform8x8[n]) inc++;
+    }
+    return inc;
+  }
+  int cond_chroma(int mb) const {
+    int inc = 0;
+    for (int which = 0; which < 2; which++) {
+      int n = nbr(mb, which);
+      if (n >= 0 && f->mb_kind[n] != KIND_PCM && f->chroma_mode[n] != 0)
+        inc++;
+    }
+    return inc;
+  }
+  int cond_cbp_luma(int mb, int blk8) const {
+    int incs[2];
+    for (int which = 0; which < 2; which++) {
+      int mb_n, blk_n;
+      if (!g.luma8_nbr(mb, blk8, which, &mb_n, &blk_n)) { incs[which] = 0; continue; }
+      if (mb_n == mb) {
+        incs[which] = ((f->cbp_luma[mb] >> blk_n) & 1) ? 0 : 1;
+      } else if (!f->parsed[mb_n] || f->mb_kind[mb_n] == KIND_PCM) {
+        incs[which] = 0;
+      } else {
+        incs[which] = ((f->cbp_luma[mb_n] >> blk_n) & 1) ? 0 : 1;
+      }
+    }
+    return incs[0] + 2 * incs[1];
+  }
+  int cond_cbp_chroma(int mb, int binidx) const {
+    int incs[2];
+    for (int which = 0; which < 2; which++) {
+      int n = nbr(mb, which);
+      if (n < 0) { incs[which] = 0; continue; }
+      if (f->mb_kind[n] == KIND_PCM) { incs[which] = 1; continue; }
+      int c = f->cbp_chroma[n];
+      incs[which] = binidx == 0 ? (c != 0 ? 1 : 0) : (c == 2 ? 1 : 0);
+    }
+    return incs[0] + 2 * incs[1];
+  }
+  // cat: 0 dc,1 ac,2 4x4,3 cdc,4 cac; blk packs (ic, blk4) for cac
+  int cond_cbf(int mb, int cat, int blk, int ic) const {
+    int incs[2];
+    for (int which = 0; which < 2; which++) {
+      if (cat == 0) {
+        int n = nbr(mb, which);
+        if (n < 0) { incs[which] = 1; }
+        else if (f->mb_kind[n] == KIND_PCM) incs[which] = 1;
+        else if (f->mb_kind[n] == KIND_I16) incs[which] = f->cbf_luma_dc[n];
+        else incs[which] = 0;
+      } else if (cat == 1 || cat == 2) {
+        int mb_n, blk_n;
+        if (!g.luma4_nbr(mb, blk, which, &mb_n, &blk_n)
+            || (mb_n != mb && !f->parsed[mb_n])) { incs[which] = 1; }
+        else if (f->mb_kind[mb_n] == KIND_PCM) incs[which] = 1;
+        else if (f->transform8x8[mb_n])
+          incs[which] = (f->cbp_luma[mb_n] >> (blk_n >> 2)) & 1;
+        else if (((f->cbp_luma[mb_n] >> (blk_n >> 2)) & 1) == 0)
+          incs[which] = 0;
+        else incs[which] = f->cbf_luma[mb_n * 16 + blk_n];
+      } else if (cat == 3) {
+        int n = nbr(mb, which);
+        if (n < 0) incs[which] = 1;
+        else if (f->mb_kind[n] == KIND_PCM) incs[which] = 1;
+        else if (f->cbp_chroma[n] != 0)
+          incs[which] = f->cbf_chroma_dc[n * 2 + blk];
+        else incs[which] = 0;
+      } else {
+        int mb_n, blk_n;
+        if (!g.chroma4_nbr(mb, blk, which, &mb_n, &blk_n)
+            || (mb_n != mb && !f->parsed[mb_n])) { incs[which] = 1; }
+        else if (f->mb_kind[mb_n] == KIND_PCM) incs[which] = 1;
+        else if (f->cbp_chroma[mb_n] == 2)
+          incs[which] = f->cbf_chroma[(mb_n * 2 + ic) * 4 + blk_n];
+        else incs[which] = 0;
+      }
+    }
+    return incs[0] + 2 * incs[1];
+  }
+
+  // returns cbf; fills levels[maxn] scan order
+  int residual(int mb, int cat, int blk, int ic, int maxn, int* levels) {
+    memset(levels, 0, sizeof(int) * maxn);
+    static const int cat_off_cbf[5] = {0, 4, 8, 12, 16};
+    static const int cat_off_sig[5] = {0, 15, 29, 44, 47};
+    static const int cat_off_abs[5] = {0, 10, 20, 30, 39};
+    int cbf = 1;
+    if (cat != 5) {
+      int inc = cond_cbf(mb, cat, cat == 4 ? blk : blk, ic);
+      cbf = e.decision(85 + cat_off_cbf[cat] + inc);
+      if (!cbf) return 0;
+    }
+    int sig_base, last_base, abs_base;
+    if (cat == 5) { sig_base = 402; last_base = 417; abs_base = 426; }
+    else {
+      sig_base = 105 + cat_off_sig[cat];
+      last_base = 166 + cat_off_sig[cat];
+      abs_base = 227 + cat_off_abs[cat];
+    }
+    int sig[64];
+    memset(sig, 0, sizeof(sig));
+    int num = 0;
+    bool last_fired = false;
+    for (int i = 0; i < maxn - 1; i++) {
+      int sig_inc, last_inc;
+      if (cat == 5) { sig_inc = kSig8x8[i]; last_inc = kLast8x8[i]; }
+      else if (cat == 3) { sig_inc = i < 2 ? i : 2; last_inc = sig_inc; }
+      else { sig_inc = i; last_inc = i; }
+      if (e.decision(sig_base + sig_inc)) {
+        sig[i] = 1;
+        num = i + 1;
+        if (e.decision(last_base + last_inc)) { last_fired = true; break; }
+      }
+    }
+    if (!last_fired) { sig[maxn - 1] = 1; num = maxn; }
+
+    int num_gt1 = 0, num_eq1 = 0;
+    for (int idx = num - 1; idx >= 0; idx--) {
+      if (!sig[idx]) continue;
+      int inc0 = num_gt1 ? 0 : (1 + num_eq1 < 4 ? 1 + num_eq1 : 4);
+      int prefix = 0;
+      if (e.decision(abs_base + inc0)) {
+        prefix = 1;
+        int cap = cat == 3 ? 3 : 4;
+        int inc_n = 5 + (num_gt1 < cap ? num_gt1 : cap);
+        while (prefix < 14 && e.decision(abs_base + inc_n)) prefix++;
+      }
+      int64_t level = prefix + 1;
+      if (prefix == 14) {
+        int k = 0;
+        while (e.bypass()) { if (++k > 30) { r->error = true; return 0; } }
+        int64_t suffix = 0;
+        for (int j = 0; j < k; j++) suffix = (suffix << 1) | e.bypass();
+        level += (1LL << k) - 1 + suffix;
+      }
+      if (level == 1) num_eq1++; else num_gt1++;
+      if (e.bypass()) level = -level;
+      levels[idx] = (int)level;
+    }
+    return 1;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// macroblock layer (shared plumbing)
+
+struct SliceDec {
+  BitReader r;
+  FrameBufs f;
+  Geo g;
+  ModePred mp;
+  int qp_prev;
+  int cabac;
+  int transform8x8_mode;
+  int chroma_array_type = 1;
+  int64_t stop_bit;
+  CavlcCtx cav;
+  CabacCtx cab;
+
+  void scatter_zz4(int mb_blk_base, const int* scan) {
+    int32_t* out = f.luma_ac + mb_blk_base * 16;
+    for (int k = 0; k < 16; k++) out[kZigzag4[k]] = scan[k];
+  }
+
+  int parse_mb_cavlc(int mb);
+  int parse_mb_cabac(int mb);
+  void apply_pcm(int mb);
+};
+
+void SliceDec::apply_pcm(int mb) {
+  // raw samples are stored via the Python wrapper reading them back from
+  // the bitstream position we record; here we copy into luma_ac /
+  // chroma_ac using the "PCM rides the coefficient buffers" layout
+  f.mb_kind[mb] = KIND_PCM;
+  f.parsed[mb] = 1;
+  r.align();
+  int32_t* y = f.luma_ac + mb * 256;
+  for (int i = 0; i < 256; i++) y[i] = (int32_t)r.read_bits(8);
+  int32_t* c = f.chroma_ac + mb * 128;
+  for (int i = 0; i < 128; i++) c[i] = (int32_t)r.read_bits(8);
+  for (int i = 0; i < 16; i++) f.total_coeff_luma[mb * 16 + i] = 16;
+  for (int i = 0; i < 8; i++) f.total_coeff_chroma[mb * 8 + i] = 16;
+  f.cbf_luma_dc[mb] = 1;
+  for (int i = 0; i < 16; i++) f.cbf_luma[mb * 16 + i] = 1;
+  for (int i = 0; i < 4; i++) f.cbf_luma8x8[mb * 4 + i] = 1;
+  for (int i = 0; i < 2; i++) f.cbf_chroma_dc[mb * 2 + i] = 1;
+  for (int i = 0; i < 8; i++) f.cbf_chroma[mb * 8 + i] = 1;
+  f.qpy[mb] = qp_prev;
+}
+
+int SliceDec::parse_mb_cavlc(int mb) {
+  uint32_t mb_type = read_ue(r);
+  if (r.error || mb_type > 25) return -1;
+  if (mb_type == 25) { apply_pcm(mb); return 0; }
+
+  int is_i16 = 0, cbp_l = 0, cbp_c = 0;
+  if (mb_type == 0) {
+    int t8 = 0;
+    if (transform8x8_mode) t8 = r.read_bit();
+    f.transform8x8[mb] = (int8_t)t8;
+    f.mb_kind[mb] = t8 ? KIND_I8 : KIND_I4;
+    f.parsed[mb] = 1;
+    if (t8) {
+      for (int b8 = 0; b8 < 4; b8++) {
+        int pred = mp.pred8(mb, b8);
+        int mode;
+        if (r.read_bit()) mode = pred;
+        else { int rem = (int)r.read_bits(3); mode = rem < pred ? rem : rem + 1; }
+        f.luma8x8_modes[mb * 4 + b8] = (int8_t)mode;
+      }
+    } else {
+      for (int b = 0; b < 16; b++) {
+        int pred = mp.pred4(mb, b);
+        int mode;
+        if (r.read_bit()) mode = pred;
+        else { int rem = (int)r.read_bits(3); mode = rem < pred ? rem : rem + 1; }
+        f.luma4x4_modes[mb * 16 + b] = (int8_t)mode;
+      }
+    }
+    uint32_t m = read_ue(r);
+    if (m > 3) return -1;
+    f.chroma_mode[mb] = (int8_t)m;
+    uint32_t code_num = read_ue(r);
+    const uint8_t* tab = chroma_array_type == 1 || chroma_array_type == 2
+                         ? kMeCbp12 : kMeCbp03;
+    int tabn = (chroma_array_type == 1 || chroma_array_type == 2) ? 48 : 16;
+    if ((int)code_num >= tabn) return -1;
+    int cbp = tab[code_num * 2];
+    cbp_l = cbp & 15;
+    cbp_c = cbp >> 4;
+  } else {
+    is_i16 = 1;
+    int t = (int)mb_type - 1;
+    f.mb_kind[mb] = KIND_I16;
+    f.parsed[mb] = 1;
+    f.i16_mode[mb] = (int8_t)(t % 4);
+    cbp_c = (t / 4) % 3;
+    cbp_l = t >= 12 ? 15 : 0;
+    uint32_t m = read_ue(r);
+    if (m > 3) return -1;
+    f.chroma_mode[mb] = (int8_t)m;
+  }
+  f.cbp_luma[mb] = (int8_t)cbp_l;
+  f.cbp_chroma[mb] = (int8_t)cbp_c;
+
+  if (cbp_l || cbp_c || is_i16) {
+    int delta = read_se(r);
+    if (delta <= -27 || delta >= 26) return -1;
+    qp_prev = (qp_prev + delta + 52) % 52;
+  }
+  f.qpy[mb] = qp_prev;
+
+  int lv[64];
+  int transform8 = f.transform8x8[mb];
+  if (is_i16) {
+    int nc = cav.nc_luma(mb, 0);
+    if (cav.residual(nc, 0, 15, 16, lv) < 0) return -1;
+    int32_t* dc = f.luma_dc + mb * 16;
+    for (int k = 0; k < 16; k++) dc[kZigzag4[k]] = lv[k];
+  }
+  for (int b8 = 0; b8 < 4; b8++) {
+    int coded = (cbp_l >> b8) & 1;
+    if (transform8) {
+      int lv64[64] = {0};
+      for (int i4 = 0; i4 < 4; i4++) {
+        int blk = b8 * 4 + i4;
+        if (!coded) continue;
+        int nc = cav.nc_luma(mb, blk);
+        int tc = cav.residual(nc, 0, 15, 16, lv);
+        if (tc < 0) return -1;
+        f.total_coeff_luma[mb * 16 + blk] = (int16_t)tc;
+        for (int k = 0; k < 16; k++) lv64[4 * k + i4] = lv[k];
+      }
+      if (coded) {
+        int32_t* out = f.luma8x8_coeff + (mb * 4 + b8) * 64;
+        for (int k = 0; k < 64; k++) out[kZigzag8[k]] = lv64[k];
+      }
+    } else {
+      for (int i4 = 0; i4 < 4; i4++) {
+        int blk = b8 * 4 + i4;
+        if (!coded) continue;
+        int nc = cav.nc_luma(mb, blk);
+        int tc;
+        int full[16] = {0};
+        if (is_i16) {
+          tc = cav.residual(nc, 0, 14, 15, lv);
+          if (tc < 0) return -1;
+          for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
+        } else {
+          tc = cav.residual(nc, 0, 15, 16, full);
+          if (tc < 0) return -1;
+        }
+        f.total_coeff_luma[mb * 16 + blk] = (int16_t)tc;
+        int32_t* out = f.luma_ac + (mb * 16 + blk) * 16;
+        for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+      }
+    }
+  }
+  if (cbp_c) {
+    for (int ic = 0; ic < 2; ic++) {
+      if (cav.residual(-1, 0, 3, 4, lv) < 0) return -1;
+      int32_t* out = f.chroma_dc + (mb * 2 + ic) * 4;
+      for (int k = 0; k < 4; k++) out[k] = lv[k];
+    }
+  }
+  if (cbp_c & 2) {
+    for (int ic = 0; ic < 2; ic++) {
+      for (int blk = 0; blk < 4; blk++) {
+        int nc = cav.nc_chroma(mb, ic, blk);
+        int tc = cav.residual(nc, 0, 14, 15, lv);
+        if (tc < 0) return -1;
+        f.total_coeff_chroma[(mb * 2 + ic) * 4 + blk] = (int16_t)tc;
+        int full[16] = {0};
+        for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
+        int32_t* out = f.chroma_ac + ((mb * 2 + ic) * 4 + blk) * 16;
+        for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+      }
+    }
+  }
+  return 0;
+}
+
+int SliceDec::parse_mb_cabac(int mb) {
+  CabacEngine& e = cab.e;
+  // mb_type
+  int mb_type;
+  if (e.decision(3 + cab.cond_mbtype(mb)) == 0) mb_type = 0;
+  else if (e.terminate()) {
+    apply_pcm(mb);
+    cab.prev_qp_delta = 0;
+    e.init_engine();
+    return 0;
+  } else {
+    int cbp_l = e.decision(3 + 3) ? 15 : 0;
+    int cbp_c = 0;
+    if (e.decision(3 + 4)) cbp_c = e.decision(3 + 5) ? 2 : 1;
+    int hi = e.decision(3 + 6), lo = e.decision(3 + 7);
+    mb_type = 1 + (2 * hi + lo) + 4 * cbp_c + (cbp_l ? 12 : 0);
+  }
+
+  int is_i16 = 0, cbp_l = 0, cbp_c = 0;
+  if (mb_type == 0) {
+    int t8 = 0;
+    if (transform8x8_mode) t8 = e.decision(399 + cab.cond_t8(mb));
+    f.transform8x8[mb] = (int8_t)t8;
+    f.mb_kind[mb] = t8 ? KIND_I8 : KIND_I4;
+    f.parsed[mb] = 1;
+    int nblk = t8 ? 4 : 16;
+    for (int b = 0; b < nblk; b++) {
+      int pred = t8 ? mp.pred8(mb, b) : mp.pred4(mb, b);
+      int mode;
+      if (e.decision(68)) mode = pred;
+      else {
+        int rem = e.decision(69);
+        rem |= e.decision(69) << 1;
+        rem |= e.decision(69) << 2;
+        mode = rem < pred ? rem : rem + 1;
+      }
+      if (t8) f.luma8x8_modes[mb * 4 + b] = (int8_t)mode;
+      else f.luma4x4_modes[mb * 16 + b] = (int8_t)mode;
+    }
+    // chroma mode
+    int cm = 0;
+    if (e.decision(64 + cab.cond_chroma(mb))) {
+      cm = 1;
+      if (e.decision(67)) cm = e.decision(67) ? 3 : 2;
+    }
+    f.chroma_mode[mb] = (int8_t)cm;
+    // cbp
+    for (int b8 = 0; b8 < 4; b8++) {
+      int inc = cab.cond_cbp_luma(mb, b8);
+      if (e.decision(73 + inc)) cbp_l |= 1 << b8;
+      f.cbp_luma[mb] = (int8_t)cbp_l;
+    }
+    if (e.decision(77 + cab.cond_cbp_chroma(mb, 0)))
+      cbp_c = e.decision(81 + cab.cond_cbp_chroma(mb, 1)) ? 2 : 1;
+  } else {
+    is_i16 = 1;
+    int t = mb_type - 1;
+    f.mb_kind[mb] = KIND_I16;
+    f.parsed[mb] = 1;
+    f.i16_mode[mb] = (int8_t)(t % 4);
+    cbp_c = (t / 4) % 3;
+    cbp_l = t >= 12 ? 15 : 0;
+    int cm = 0;
+    if (e.decision(64 + cab.cond_chroma(mb))) {
+      cm = 1;
+      if (e.decision(67)) cm = e.decision(67) ? 3 : 2;
+    }
+    f.chroma_mode[mb] = (int8_t)cm;
+  }
+  f.cbp_luma[mb] = (int8_t)cbp_l;
+  f.cbp_chroma[mb] = (int8_t)cbp_c;
+
+  if (cbp_l || cbp_c || is_i16) {
+    // mb_qp_delta
+    int inc = cab.prev_qp_delta != 0 ? 1 : 0;
+    int code = 0;
+    if (e.decision(60 + inc)) {
+      code = 1;
+      if (e.decision(62)) {
+        code = 2;
+        while (e.decision(63)) { if (++code > 87) return -1; }
+      }
+    }
+    int delta = (code & 1) ? (code + 1) >> 1 : -(code >> 1);
+    cab.prev_qp_delta = delta;
+    qp_prev = (qp_prev + delta + 52) % 52;
+  } else {
+    cab.prev_qp_delta = 0;
+  }
+  f.qpy[mb] = qp_prev;
+
+  int lv[64];
+  int transform8 = f.transform8x8[mb];
+  if (is_i16) {
+    int cbf = cab.residual(mb, 0, 0, 0, 16, lv);
+    if (r.error) return -1;
+    f.cbf_luma_dc[mb] = (int8_t)cbf;
+    int32_t* dc = f.luma_dc + mb * 16;
+    for (int k = 0; k < 16; k++) dc[kZigzag4[k]] = lv[k];
+  }
+  for (int b8 = 0; b8 < 4; b8++) {
+    int coded = (cbp_l >> b8) & 1;
+    if (!coded) continue;
+    if (transform8) {
+      if (!cab.residual(mb, 5, b8, 0, 64, lv) && r.error) return -1;
+      f.cbf_luma8x8[mb * 4 + b8] = 1;
+      int32_t* out = f.luma8x8_coeff + (mb * 4 + b8) * 64;
+      for (int k = 0; k < 64; k++) out[kZigzag8[k]] = lv[k];
+    } else {
+      for (int i4 = 0; i4 < 4; i4++) {
+        int blk = b8 * 4 + i4;
+        int full[16] = {0};
+        int cbf;
+        if (is_i16) {
+          cbf = cab.residual(mb, 1, blk, 0, 15, lv);
+          for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
+        } else {
+          cbf = cab.residual(mb, 2, blk, 0, 16, full);
+        }
+        if (r.error) return -1;
+        f.cbf_luma[mb * 16 + blk] = (int8_t)cbf;
+        int32_t* out = f.luma_ac + (mb * 16 + blk) * 16;
+        for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+      }
+    }
+  }
+  if (cbp_c) {
+    for (int ic = 0; ic < 2; ic++) {
+      int cbf = cab.residual(mb, 3, ic, ic, 4, lv);
+      if (r.error) return -1;
+      f.cbf_chroma_dc[mb * 2 + ic] = (int8_t)cbf;
+      int32_t* out = f.chroma_dc + (mb * 2 + ic) * 4;
+      for (int k = 0; k < 4; k++) out[k] = lv[k];
+    }
+  }
+  if (cbp_c & 2) {
+    for (int ic = 0; ic < 2; ic++) {
+      for (int blk = 0; blk < 4; blk++) {
+        int cbf = cab.residual(mb, 4, blk, ic, 15, lv);
+        if (r.error) return -1;
+        f.cbf_chroma[(mb * 2 + ic) * 4 + blk] = (int8_t)cbf;
+        int full[16] = {0};
+        for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
+        int32_t* out = f.chroma_ac + ((mb * 2 + ic) * 4 + blk) * 16;
+        for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+      }
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse one I-slice's slice_data(); returns MBs parsed or negative error.
+// Buffer pointer order MUST match NativeFrameBufs in native/__init__.py.
+int64_t mv_parse_slice(
+    const uint8_t* rbsp, int64_t rbsp_len_bytes, int64_t data_bit_offset,
+    int32_t wmb, int32_t hmb, int32_t first_mb, int32_t slice_qp,
+    int32_t entropy_cabac, int32_t transform8x8_mode,
+    void** bufs) {
+  SliceDec d;
+  d.r.data = rbsp;
+  d.r.nbits = rbsp_len_bytes * 8;
+  d.r.pos = data_bit_offset;
+  int i = 0;
+  d.f.mb_kind = (int8_t*)bufs[i++];
+  d.f.qpy = (int32_t*)bufs[i++];
+  d.f.i16_mode = (int8_t*)bufs[i++];
+  d.f.chroma_mode = (int8_t*)bufs[i++];
+  d.f.luma4x4_modes = (int8_t*)bufs[i++];
+  d.f.luma8x8_modes = (int8_t*)bufs[i++];
+  d.f.cbp_luma = (int8_t*)bufs[i++];
+  d.f.cbp_chroma = (int8_t*)bufs[i++];
+  d.f.luma_dc = (int32_t*)bufs[i++];
+  d.f.luma_ac = (int32_t*)bufs[i++];
+  d.f.luma8x8_coeff = (int32_t*)bufs[i++];
+  d.f.chroma_dc = (int32_t*)bufs[i++];
+  d.f.chroma_ac = (int32_t*)bufs[i++];
+  d.f.total_coeff_luma = (int16_t*)bufs[i++];
+  d.f.total_coeff_chroma = (int16_t*)bufs[i++];
+  d.f.cbf_luma_dc = (int8_t*)bufs[i++];
+  d.f.cbf_luma = (int8_t*)bufs[i++];
+  d.f.cbf_luma8x8 = (int8_t*)bufs[i++];
+  d.f.cbf_chroma_dc = (int8_t*)bufs[i++];
+  d.f.cbf_chroma = (int8_t*)bufs[i++];
+  d.f.transform8x8 = (int8_t*)bufs[i++];
+  d.f.parsed = (uint8_t*)bufs[i++];
+
+  d.g.wmb = wmb;
+  d.g.hmb = hmb;
+  d.g.first_mb = first_mb;
+  d.mp.f = &d.f;
+  d.mp.g = d.g;
+  d.qp_prev = slice_qp;
+  d.cabac = entropy_cabac;
+  d.transform8x8_mode = transform8x8_mode;
+  d.cav.r = &d.r;
+  d.cav.f = &d.f;
+  d.cav.g = d.g;
+  d.cab.r = &d.r;
+  d.cab.f = &d.f;
+  d.cab.g = d.g;
+
+  int n_mbs = wmb * hmb;
+  int mb = first_mb;
+
+  if (entropy_cabac) {
+    d.r.align();
+    d.cab.e.r = &d.r;
+    d.cab.e.init_contexts(slice_qp);
+    d.cab.e.init_engine();
+    while (true) {
+      if (mb >= n_mbs) return -2;
+      if (d.parse_mb_cabac(mb) < 0 || d.r.error) return -3;
+      mb++;
+      if (d.cab.e.terminate()) break;
+    }
+  } else {
+    // locate the rbsp stop bit (backward scan, as in bitio.py)
+    int64_t stop = -1;
+    for (int64_t byte = rbsp_len_bytes - 1; byte >= 0; byte--) {
+      if (rbsp[byte]) {
+        uint8_t v = rbsp[byte];
+        int low = 0;
+        while (!((v >> low) & 1)) low++;
+        stop = byte * 8 + (7 - low);
+        break;
+      }
+    }
+    if (stop < 0) return -4;
+    while (d.r.pos < stop) {
+      if (mb >= n_mbs) return -2;
+      if (d.parse_mb_cavlc(mb) < 0 || d.r.error) return -3;
+      mb++;
+    }
+  }
+  return mb - first_mb;
+}
+
+}  // extern "C"
