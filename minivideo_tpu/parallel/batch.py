@@ -1,0 +1,278 @@
+"""Pod-scale batch thumbnailing: N clips -> thumbnails, sharded over a
+device mesh and (optionally) multiple hosts.
+
+This is the distributed equivalent of running the reference's
+mini_thumbnailer once per file (SURVEY.md §2.6: the reference is single
+threaded; the workload is embarrassingly parallel across clips).  The
+pipeline has three overlapped stages:
+
+  host parse   — demux + entropy decode per clip on a thread pool (the
+                 native C++ entropy parser releases the GIL during the
+                 ctypes call, so threads scale across cores);
+  device recon — frames bucketed by MB-grid geometry, padded to the mesh
+                 batch multiple, and reconstructed by the sharded
+                 wavefront engine (one jit per geometry, reused);
+  host export  — image encode + write on a thread pool.
+
+Failure isolation: any per-clip exception is caught, recorded in the
+Manifest, and the batch continues (reference analogue: jumpy_* resync +
+the 64-error tolerance, h264.c:181-187 — but scoped per clip, not
+per NALU).  Resume: clips already marked done in the manifest are
+skipped.
+
+Multi-host: each host processes clips[process_index::process_count] and
+writes its own manifest shard.  No cross-host collectives are needed —
+outputs are files; hosts coordinate only through the shared filesystem.
+"""
+
+from __future__ import annotations
+
+import os
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import trace
+from ..codecs import PictureFormat, PictureRepartition
+from .manifest import Manifest
+from .sharding import make_mesh, pad_to_multiple, shard_packed
+
+
+@dataclass
+class ParsedClip:
+    path: str
+    frames: list            # [(FrameSyntax, slice_of_mb), ...]
+    sps: object
+    pps: object
+    file_name: str
+
+
+@dataclass
+class BatchResult:
+    done: int = 0
+    failed: int = 0
+    skipped: int = 0
+    frames: int = 0
+    outputs: list = field(default_factory=list)
+    errors: dict = field(default_factory=dict)
+
+
+def _parse_clip(path: str, pictures: int, mode) -> ParsedClip:
+    """Demux + entropy-parse one clip's selected IDR pictures (host)."""
+    from ..api import mv_close, mv_open, mv_parse
+    from ..containers.filter import idr_filtering
+    from ..containers.mp4 import avcc_to_annexb
+    from ..codecs import Codec, Container
+    from ..models.h264.decoder import H264Decoder, group_idr_access_units
+    from ..models.h264.nalu import parse_nalu, split_annexb
+    from ..models.h264.params import UnsupportedStream
+
+    media = mv_open(path)
+    try:
+        if not mv_parse(media, audio=False, video=True, subs=False):
+            raise ValueError("container parse failed")
+        if not media.tracks_video:
+            raise ValueError("no video track")
+        track = media.tracks_video[0]
+        if track.stream_codec not in (Codec.H264, Codec.UNKNOWN):
+            raise UnsupportedStream(
+                f"{track.stream_codec.name} (H.264 intra only)")
+        selected = idr_filtering(track, pictures, mode)
+        if len(selected) == 0:
+            raise ValueError("no IDR pictures found")
+
+        fh = media.file_handle
+        length_prefixed = media.container == Container.MP4
+        out = bytearray()
+        for ps in track.parameter_sets:
+            out += b"\x00\x00\x00\x01" + ps
+        for i in track.param_indices():
+            raw = track.read_sample(fh, i)
+            if not length_prefixed:
+                out += (raw if raw.startswith((b"\x00\x00\x01",
+                                               b"\x00\x00\x00\x01"))
+                        else b"\x00\x00\x00\x01" + raw)
+        for i in selected:
+            raw = track.read_sample(fh, int(i))
+            if length_prefixed:
+                out += avcc_to_annexb(
+                    raw, getattr(track, "nal_length_size", 4))
+            else:
+                out += (raw if raw.startswith((b"\x00\x00\x01",
+                                               b"\x00\x00\x00\x01"))
+                        else b"\x00\x00\x00\x01" + raw)
+
+        dec = H264Decoder()
+        nalus = [parse_nalu(r, off) for off, r in split_annexb(bytes(out))]
+        for n in nalus:
+            if n.nal_unit_type in (7, 8):      # SPS / PPS
+                dec.feed_nalu(n)
+        frames = []
+        sps = pps = None
+        for group in group_idr_access_units(nalus)[:pictures]:
+            fs, sps, pps, som = dec.parse_idr_syntax(group)
+            frames.append((fs, som))
+        if not frames:
+            raise ValueError("no decodable IDR access units")
+        return ParsedClip(path, frames, sps, pps, media.file_name)
+    finally:
+        mv_close(media)
+
+
+class _Recon:
+    """Geometry-keyed cache of sharded reconstruction functions."""
+
+    def __init__(self, mesh, engine: str):
+        self.mesh = mesh
+        self.engine = engine
+        self._fns = {}
+
+    def _make(self, wmb, hmb, batch):
+        if self.engine == "pallas":
+            from ..ops.recon_pallas import make_reconstruct_pallas
+            return make_reconstruct_pallas(wmb, hmb, batch)
+        from ..ops.recon_wave import make_reconstruct_wave
+        return make_reconstruct_wave(wmb, hmb)
+
+    def __call__(self, packed):
+        """packed: PackedFrames -> (Y, Cb, Cr) numpy, real batch rows."""
+        n_dev = self.mesh.devices.size
+        arrays, real_b = pad_to_multiple(packed.arrays, n_dev)
+        key = (packed.wmb, packed.hmb,
+               arrays["mb_kind"].shape[0] if self.engine == "pallas"
+               else None)
+        if key not in self._fns:
+            self._fns[key] = self._make(packed.wmb, packed.hmb,
+                                        arrays["mb_kind"].shape[0])
+        fn = self._fns[key]
+        arrays_s, (ls4, ls8) = shard_packed(
+            self.mesh, arrays, packed.ls4, packed.ls8)
+        cb_off, cr_off = packed.chroma_qp_off
+        with self.mesh:
+            y, cb, cr = fn(arrays_s, ls4, ls8, cb_off, cr_off)
+        return (np.asarray(y)[:real_b], np.asarray(cb)[:real_b],
+                np.asarray(cr)[:real_b])
+
+
+def batch_thumbnail(clips, outdir, *, pictures_per_clip: int = 1,
+                    mode=PictureRepartition.UNFILTERED,
+                    fmt=PictureFormat.PNG, quality: int = 75,
+                    mesh=None, engine: str = "wave",
+                    manifest_path: str | None = None,
+                    process_index: int | None = None,
+                    process_count: int | None = None,
+                    parse_workers: int | None = None,
+                    io_workers: int = 8) -> BatchResult:
+    """Thumbnail a list of clips, sharded across devices and hosts."""
+    import jax
+    from ..export.image import export_picture
+    from ..ops.recon import pack_frames
+
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    my_clips = list(clips)[process_index::process_count]
+
+    os.makedirs(outdir, exist_ok=True)
+    if manifest_path is None:
+        manifest_path = os.path.join(
+            outdir, f"manifest.{process_index}.jsonl")
+    if mesh is None:
+        mesh = make_mesh()
+    if parse_workers is None:
+        parse_workers = min(32, (os.cpu_count() or 4))
+
+    result = BatchResult()
+    with Manifest(manifest_path) as man:
+        todo = man.pending(my_clips)
+        result.skipped = len(my_clips) - len(todo)
+
+        # ---- stage 1: parallel host parse (failure-isolated) -------------
+        parsed: list[ParsedClip] = []
+        with ThreadPoolExecutor(max_workers=parse_workers) as pool:
+            futs = {pool.submit(_parse_clip, c, pictures_per_clip, mode): c
+                    for c in todo}
+            for fut, clip in futs.items():
+                try:
+                    parsed.append(fut.result())
+                except Exception as e:         # noqa: BLE001 — isolation
+                    trace.warning("PARALLEL", "clip failed: %s: %s",
+                                  clip, e)
+                    man.failed(clip, error=f"{type(e).__name__}: {e}")
+                    result.failed += 1
+                    result.errors[clip] = traceback.format_exc()
+
+        # ---- stage 2: bucket by geometry+config, device recon ------------
+        def bucket_key(pc: ParsedClip):
+            p = pc.pps
+            return (pc.frames[0][0].width_mbs, pc.frames[0][0].height_mbs,
+                    p.chroma_qp_index_offset,
+                    p.second_chroma_qp_index_offset,
+                    bytes(np.asarray(p.scaling_list_4x4, np.uint8)),
+                    bytes(np.asarray(p.scaling_list_8x8, np.uint8)))
+
+        buckets: dict = {}
+        for pc in parsed:
+            buckets.setdefault(bucket_key(pc), []).append(pc)
+
+        recon = _Recon(mesh, engine)
+        export_pool = ThreadPoolExecutor(max_workers=io_workers)
+        pending_exports = []
+
+        for pcs in buckets.values():
+            frames, owners = [], []
+            for pc in pcs:
+                for fi, f in enumerate(pc.frames):
+                    frames.append(f)
+                    owners.append((pc, fi))
+            packed = pack_frames(frames, pcs[0].sps, pcs[0].pps)
+            try:
+                ys, cbs, crs = recon(packed)
+            except Exception as e:             # noqa: BLE001 — isolation
+                for pc in pcs:
+                    man.failed(pc.path, error=f"recon: {e}")
+                    result.failed += 1
+                    result.errors[pc.path] = traceback.format_exc()
+                continue
+            result.frames += len(frames)
+
+            # ---- stage 3: async export + manifest -----------------------
+            per_clip: dict = {}
+            for bi, (pc, fi) in enumerate(owners):
+                per_clip.setdefault(pc.path, []).append((pc, fi, bi))
+
+            def export_clip(items, ys=ys, cbs=cbs, crs=crs):
+                pc = items[0][0]
+                sps = pc.sps
+                outs = []
+                for _, fi, bi in items:
+                    y = ys[bi][:sps.cropped_height, :sps.cropped_width]
+                    cb = cbs[bi][:sps.cropped_height // 2,
+                                 :sps.cropped_width // 2]
+                    cr = crs[bi][:sps.cropped_height // 2,
+                                 :sps.cropped_width // 2]
+                    suffix = f"_{fi}" if len(items) > 1 else ""
+                    base = os.path.join(outdir, pc.file_name + suffix)
+                    outs.append(export_picture(base, fmt, y, cb, cr,
+                                               quality))
+                return pc.path, outs
+
+            for items in per_clip.values():
+                pending_exports.append(export_pool.submit(export_clip,
+                                                          items))
+
+        for fut in pending_exports:
+            try:
+                path, outs = fut.result()
+                man.done(path, outputs=outs)
+                result.done += 1
+                result.outputs.extend(outs)
+            except Exception as e:             # noqa: BLE001 — isolation
+                trace.warning("PARALLEL", "export failed: %s", e)
+                result.failed += 1
+        export_pool.shutdown()
+
+    return result
