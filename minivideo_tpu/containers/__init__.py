@@ -11,8 +11,19 @@ from .. import trace
 
 
 def demux(media: MediaFile) -> bool:
-    """Parse the opened media file's container into track sample tables."""
+    """Parse the opened media file's container into track sample tables.
+
+    Prefers the native C++ demuxer (native/src/demux.cc) when built;
+    MINIVIDEO_TPU_NO_NATIVE=1 forces the Python demuxers.  Both produce
+    identical tables (tests/test_native_demux.py)."""
+    import os
     c = media.container
+    if os.environ.get("MINIVIDEO_TPU_NO_NATIVE") != "1":
+        from .native import native_demux, native_demux_available
+        if native_demux_available(c):
+            if native_demux(media):
+                return True
+            trace.t1("DEMUX", "native demux failed; falling back to Python")
     if c == Container.MP4:
         from .mp4 import mp4_parse
         return mp4_parse(media)

@@ -1,0 +1,193 @@
+"""Native (C++) demuxer front-end.
+
+Calls libminivideo_native's demux entry points (native/src/demux.cc) and
+rebuilds the same Track objects the Python demuxers produce.  The raw
+table expansion (the O(samples) hot path, reference convertTrack
+mp4.c:160-545) runs in C++; cheap derivations that must match the Python
+demuxers bit-for-bit (ns rescaling, framerate, synthesized PTS, stats)
+run here with the exact same numpy expressions.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..codecs import (BitrateMode, Codec, Container, SampleType, StreamType,
+                      WAVE_FORMAT_TO_CODEC, codec_from_fourcc)
+from ..media import MediaFile, Track
+from .. import trace
+
+_NATIVE_CONTAINERS = {Container.MP4, Container.AVI, Container.WAVE,
+                      Container.MPEG_PS, Container.ES, Container.ES_MP3}
+
+
+def _bind(lib):
+    if getattr(lib, "_demux_bound", False):
+        return lib
+    lib.mv_demux_parse.restype = ctypes.c_void_p
+    lib.mv_demux_parse.argtypes = [ctypes.c_char_p, ctypes.c_int32]
+    lib.mv_demux_track_count.restype = ctypes.c_int32
+    lib.mv_demux_track_count.argtypes = [ctypes.c_void_p]
+    lib.mv_demux_track_info.restype = ctypes.c_int32
+    lib.mv_demux_track_info.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                        ctypes.POINTER(ctypes.c_int64)]
+    lib.mv_demux_track_tables.restype = ctypes.c_int32
+    lib.mv_demux_track_tables.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.mv_demux_track_psets.restype = ctypes.c_int64
+    lib.mv_demux_track_psets.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                         ctypes.c_void_p, ctypes.c_int64]
+    lib.mv_demux_close.restype = None
+    lib.mv_demux_close.argtypes = [ctypes.c_void_p]
+    lib._demux_bound = True
+    return lib
+
+
+def native_demux_available(container: Container) -> bool:
+    if container not in _NATIVE_CONTAINERS:
+        return False
+    from ..native import load
+    return load() is not None
+
+
+def native_demux(media: MediaFile) -> bool:
+    """Parse `media` with the native demuxer; returns False on failure
+    (caller falls back to the Python demuxers)."""
+    from ..native import load
+    lib = _bind(load())
+    h = lib.mv_demux_parse(media.file_path.encode(), int(media.container))
+    if not h:
+        trace.t1("DEMUX", "native demux found no tracks")
+        return False
+    try:
+        n_tracks = lib.mv_demux_track_count(h)
+        ok = False
+        for ti in range(n_tracks):
+            info = (ctypes.c_int64 * 24)()
+            if lib.mv_demux_track_info(h, ti, info) != 0:
+                continue
+            n = int(info[13])
+            types = np.zeros(n, np.int32)
+            sizes = np.zeros(n, np.int64)
+            offs = np.zeros(n, np.int64)
+            pts = np.zeros(n, np.int64)
+            dts = np.zeros(n, np.int64)
+            lib.mv_demux_track_tables(
+                h, ti,
+                types.ctypes.data_as(ctypes.c_void_p),
+                sizes.ctypes.data_as(ctypes.c_void_p),
+                offs.ctypes.data_as(ctypes.c_void_p),
+                pts.ctypes.data_as(ctypes.c_void_p),
+                dts.ctypes.data_as(ctypes.c_void_p))
+            psets = []
+            if info[14] > 0:
+                buf = (ctypes.c_uint8 * int(info[14]))()
+                ln = lib.mv_demux_track_psets(h, ti, buf, int(info[14]))
+                raw = bytes(buf[:ln])
+                p = 0
+                while p + 2 <= len(raw):
+                    ln2 = (raw[p] << 8) | raw[p + 1]
+                    p += 2
+                    psets.append(raw[p:p + ln2])
+                    p += ln2
+            t = _build_track(media.container, info, types, sizes, offs,
+                             pts, dts, psets)
+            if t is not None:
+                media.add_track(t)
+                ok = True
+        media.parsed = ok
+        return ok
+    finally:
+        lib.mv_demux_close(h)
+
+
+def _resolve_codec(info) -> Codec:
+    mode, key = int(info[3]), int(info[2])
+    if mode == 1:                           # fourcc map
+        c = codec_from_fourcc(key)
+        if c == Codec.UNKNOWN and info[18]:
+            c = codec_from_fourcc(int(info[18]))
+        return c
+    if mode == 2:                           # WAVE wFormatTag map
+        return WAVE_FORMAT_TO_CODEC.get(key, Codec.UNKNOWN)
+    if mode == 3:                           # direct Codec id
+        try:
+            return Codec(key)
+        except ValueError:
+            return Codec.UNKNOWN
+    return Codec.UNKNOWN
+
+
+def _build_track(container, info, types, sizes, offs, pts, dts,
+                 psets) -> Track | None:
+    n = len(types)
+    stream_type = StreamType(int(info[0]))
+    t = Track(
+        stream_type=stream_type, stream_fcc=int(info[1]),
+        stream_codec=_resolve_codec(info),
+        width=int(info[4]), height=int(info[5]),
+        channel_count=int(info[6]), sampling_rate=int(info[7]),
+        bit_per_sample=int(info[8]), track_id=int(info[9]),
+        timescale=int(info[10]), duration_units=int(info[11]),
+        nal_length_size=int(info[12]) or 4,
+        parameter_sets=psets, sample_per_frames=int(info[15]),
+    )
+
+    if container == Container.MP4:
+        # ns rescale + framerate exactly as containers/mp4.py:393-429
+        scale = 1e9 / (t.timescale or 1)
+        pts_ns = (pts * scale).astype(np.int64)
+        dts_ns = (dts * scale).astype(np.int64)
+        t.set_samples(types, sizes, offs, pts_ns, dts_ns)
+        if (stream_type == StreamType.VIDEO and t.duration_units > 0
+                and n > 1):
+            t.framerate = n * t.timescale / t.duration_units
+        t.compute_codec()
+        t.compute_stats()
+    elif container == Container.AVI:
+        # framerate + synthesized PTS exactly as containers/avi.py:148-157
+        scale_, rate_ = int(info[10]), int(info[11])
+        if stream_type == StreamType.VIDEO and scale_:
+            t.framerate = rate_ / scale_
+        if t.framerate > 0:
+            p = (np.arange(n) * (1e9 / t.framerate)).astype(np.int64)
+            t.set_samples(types, sizes, offs, p, p)
+        else:
+            t.set_samples(types, sizes, offs)
+        t.timescale = t.duration_units = 0
+        t.compute_stats()
+    elif container == Container.WAVE:
+        # single-sample track fields exactly as containers/wave.py:45-55
+        t.set_samples(types, sizes, offs, pts, dts)
+        byterate8 = int(info[16])
+        if byterate8:
+            t.stream_duration_ms = int(sizes[0]) * 1000.0 / (byterate8 // 8)
+            t.bitrate = byterate8
+        t.stream_size = int(sizes[0])
+        t.frame_count = 1
+    elif container == Container.MPEG_PS:
+        # 90 kHz -> ns exactly as containers/mpeg_ps.py:107-110
+        pts_ns = np.where(pts >= 0, pts * 100000 // 9, -1).astype(np.int64)
+        dts_ns = np.where(dts >= 0, dts * 100000 // 9, -1).astype(np.int64)
+        t.set_samples(types, sizes, offs, pts_ns, dts_ns)
+        t.track_id = 0
+        t.compute_stats()
+    elif container == Container.ES:
+        t.set_samples(types, sizes, offs)
+        t.compute_stats()
+    elif container == Container.ES_MP3:
+        # synthesized PTS exactly as containers/mp3.py:122-129
+        frame_ns = int(int(info[15]) * 1e9 / (t.sampling_rate or 1))
+        p = (np.arange(n) * frame_ns).astype(np.int64)
+        t.set_samples(types, sizes, offs, p, p)
+        t.compute_stats()
+        t.bitrate_mode = (BitrateMode.CBR if int(info[17]) == 1
+                          else BitrateMode.VBR)
+        t.bitrate = int(info[16] / n)      # int(np.mean(bitrates))
+    else:
+        return None
+    return t

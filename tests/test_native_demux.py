@@ -1,0 +1,148 @@
+"""Native C++ demuxers vs the Python demuxers: table-for-table parity.
+
+Every fixture container is parsed twice — MINIVIDEO_TPU_NO_NATIVE=1
+(Python) and native — and all track metadata + the five sample arrays
+must match exactly.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import fixtures.containers as C
+from fixtures.h264enc import make_stream
+from minivideo_tpu.api import mv_close, mv_open, mv_parse
+from minivideo_tpu.native import available
+
+pytestmark = pytest.mark.skipif(not available(),
+                                reason="native library not built")
+
+_FIELDS = ("stream_type", "stream_fcc", "stream_codec", "width", "height",
+           "channel_count", "sampling_rate", "bit_per_sample",
+           "framerate", "frame_count", "frame_count_idr", "stream_size",
+           "bitrate", "bitrate_mode", "nal_length_size",
+           "sample_per_frames")
+
+
+def _parse(path, force_python):
+    old = os.environ.get("MINIVIDEO_TPU_NO_NATIVE")
+    try:
+        if force_python:
+            os.environ["MINIVIDEO_TPU_NO_NATIVE"] = "1"
+        else:
+            os.environ.pop("MINIVIDEO_TPU_NO_NATIVE", None)
+        m = mv_open(path)
+        ok = mv_parse(m)
+        mv_close(m)
+        return ok, m
+    finally:
+        if old is None:
+            os.environ.pop("MINIVIDEO_TPU_NO_NATIVE", None)
+        else:
+            os.environ["MINIVIDEO_TPU_NO_NATIVE"] = old
+
+
+def _assert_tracks_equal(path):
+    ok_py, m_py = _parse(path, force_python=True)
+    ok_nat, m_nat = _parse(path, force_python=False)
+    assert ok_py and ok_nat
+    assert len(m_py.tracks) == len(m_nat.tracks)
+    for tp, tn in zip(m_py.tracks, m_nat.tracks):
+        for f in _FIELDS:
+            vp, vn = getattr(tp, f), getattr(tn, f)
+            if isinstance(vp, float):
+                assert vn == pytest.approx(vp), (f, vp, vn)
+            else:
+                assert vp == vn, (f, vp, vn)
+        assert abs(tp.stream_duration_ms - tn.stream_duration_ms) < 1e-6
+        assert tp.parameter_sets == tn.parameter_sets
+        np.testing.assert_array_equal(tp.sample_type, tn.sample_type)
+        np.testing.assert_array_equal(tp.sample_size, tn.sample_size)
+        np.testing.assert_array_equal(tp.sample_offset, tn.sample_offset)
+        np.testing.assert_array_equal(tp.sample_pts, tn.sample_pts)
+        np.testing.assert_array_equal(tp.sample_dts, tn.sample_dts)
+    return m_nat
+
+
+@pytest.fixture(scope="module")
+def annexb():
+    return make_stream(width_mbs=4, height_mbs=3, n_pictures=3, seed=5,
+                       allow_pcm=False)
+
+
+def test_mp4_parity(annexb, tmp_path):
+    p = tmp_path / "a.mp4"
+    p.write_bytes(C.write_mp4(annexb, 64, 48))
+    m = _assert_tracks_equal(str(p))
+    t = m.tracks_video[0]
+    assert t.sample_count == 3
+    assert len(t.parameter_sets) == 2
+
+
+def test_avi_parity(annexb, tmp_path):
+    p = tmp_path / "a.avi"
+    p.write_bytes(C.write_avi(annexb, 64, 48))
+    _assert_tracks_equal(str(p))
+
+
+def test_wave_parity(tmp_path):
+    pcm = (np.sin(np.arange(1600) / 10) * 12000).astype(np.int16)
+    p = tmp_path / "t.wav"
+    p.write_bytes(C.write_wav(pcm, 16000))
+    m = _assert_tracks_equal(str(p))
+    assert m.tracks_audio[0].sampling_rate == 16000
+
+
+def test_ps_parity(annexb, tmp_path):
+    p = tmp_path / "a.mpg"
+    p.write_bytes(C.write_ps(annexb))
+    _assert_tracks_equal(str(p))
+
+
+def test_es_parity(annexb, tmp_path):
+    p = tmp_path / "a.264"
+    p.write_bytes(annexb)
+    m = _assert_tracks_equal(str(p))
+    assert m.tracks_video[0].frame_count_idr == 3
+
+
+def test_mp3_parity(tmp_path):
+    p = tmp_path / "t.mp3"
+    p.write_bytes(C.write_mp3(n_frames=32))
+    m = _assert_tracks_equal(str(p))
+    assert m.tracks_audio[0].sample_count == 32
+
+
+def test_native_decode_end_to_end(annexb, tmp_path):
+    """Native-demuxed MP4 decodes to the same pictures as Python path."""
+    from minivideo_tpu.api import mv_decode
+    p = tmp_path / "a.mp4"
+    p.write_bytes(C.write_mp4(annexb, 64, 48))
+
+    os.environ.pop("MINIVIDEO_TPU_NO_NATIVE", None)
+    m = mv_open(str(p))
+    assert mv_parse(m)
+    pics = mv_decode(m, picture_number=3)
+    mv_close(m)
+
+    from minivideo_tpu.models.h264.decoder import decode_annexb
+    ref = decode_annexb(annexb, max_pictures=3)
+    assert len(pics) == len(ref) == 3
+    for a, b in zip(pics, ref):
+        np.testing.assert_array_equal(a.y, b.y)
+        np.testing.assert_array_equal(a.cb, b.cb)
+        np.testing.assert_array_equal(a.cr, b.cr)
+
+
+def test_native_corrupt_box_clamping(annexb, tmp_path):
+    """A corrupt mp4 box size must not crash the native walker."""
+    data = bytearray(C.write_mp4(annexb, 64, 48))
+    # corrupt the moov size field to something enormous
+    i = data.find(b"moov") - 4
+    data[i:i + 4] = (0x7FFFFFFF).to_bytes(4, "big")
+    p = tmp_path / "bad.mp4"
+    p.write_bytes(bytes(data))
+    ok, m = _parse(str(p), force_python=False)
+    # parse may fail or succeed, but must not crash
+    assert isinstance(ok, bool)
