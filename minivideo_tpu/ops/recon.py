@@ -215,19 +215,28 @@ def build_residuals(arr, ls4, ls8, cb_off, cr_off):
     ls4 = jnp.asarray(ls4)
     ls8 = jnp.asarray(ls8)
 
+    # Components-first layout throughout ([blk_h, blk_w, N], N on lanes):
+    # the natural [..., 4, 4] layouts put the tiny block dims on the TPU
+    # (sublane, lane) tiling and run the VPU at ~2% width.
+    from .transform import (dequant_4x4_t, dequant_8x8_t, idct_4x4_t,
+                            idct_8x8_t, from_comp_first, to_comp_first)
+
     # luma 4x4 blocks
-    qp16 = jnp.broadcast_to(qp[..., None], (B, n, 16))
-    d4 = dequant_4x4(arr["luma_ac"], qp16, ls4[0])
+    qp16 = jnp.broadcast_to(qp[..., None], (B, n, 16)).reshape(-1)
+    c4t, _ = to_comp_first(arr["luma_ac"].astype(jnp.int32), 4, 4)
+    d4t = dequant_4x4_t(c4t, qp16, ls4[0])
     dc = luma_dc_transform(arr["luma_dc"], qp, ls4[0])       # [B,n,4,4]
-    dc_per_blk = dc[..., _BLK_ROW, _BLK_COL]                 # [B,n,16]
-    is16 = (kind == KIND_I16x16)[..., None]
-    d00 = jnp.where(is16, dc_per_blk, d4[..., 0, 0])
-    d4 = d4.at[..., 0, 0].set(d00)
-    r4 = idct_4x4(d4)
+    dc_per_blk = dc[..., _BLK_ROW, _BLK_COL].reshape(-1)     # [B*n*16]
+    is16 = jnp.broadcast_to((kind == KIND_I16x16)[..., None],
+                            (B, n, 16)).reshape(-1)
+    d4t = d4t.at[0, 0].set(jnp.where(is16, dc_per_blk, d4t[0, 0]))
+    r4 = from_comp_first(idct_4x4_t(d4t), (B, n, 16), 4, 4)
 
     # luma 8x8 blocks
-    qp4 = jnp.broadcast_to(qp[..., None], (B, n, 4))
-    r8 = idct_8x8(dequant_8x8(arr["luma8x8_coeff"], qp4, ls8))
+    qp4 = jnp.broadcast_to(qp[..., None], (B, n, 4)).reshape(-1)
+    c8t, _ = to_comp_first(arr["luma8x8_coeff"].astype(jnp.int32), 8, 8)
+    r8 = from_comp_first(idct_8x8_t(dequant_8x8_t(c8t, qp4, ls8)),
+                         (B, n, 4), 8, 8)
 
     # assembled luma residual for I16x16 / PCM
     pcm_luma = arr["luma_ac"].reshape(B, n, 16, 16)
@@ -236,18 +245,20 @@ def build_residuals(arr, ls4, ls8, cb_off, cr_off):
 
     # chroma
     chroma_parts = []
+    blk_r = jnp.array([0, 0, 1, 1])
+    blk_c = jnp.array([0, 1, 0, 1])
     for ic, off in enumerate((cb_off, cr_off)):
         qpc = _QPC_TAB[jnp.clip(qp + off, 0, 51)]            # [B,n]
-        qpc4 = jnp.broadcast_to(qpc[..., None], (B, n, 4))
+        qpc4 = jnp.broadcast_to(qpc[..., None], (B, n, 4)).reshape(-1)
         dci = chroma_dc_transform(arr["chroma_dc"][:, :, ic], qpc,
                                   ls4[1 + ic])               # [B,n,2,2]
-        dch = dequant_4x4(arr["chroma_ac"][:, :, ic], qpc4, ls4[1 + ic])
-        blk_r = jnp.array([0, 0, 1, 1])
-        blk_c = jnp.array([0, 1, 0, 1])
-        d00c = dci[..., blk_r, blk_c]                        # [B,n,4]
-        dch = dch.at[..., 0, 0].set(d00c)
-        rc = _assemble_8x8_from_4(idct_4x4(dch))             # [B,n,8,8]
-        chroma_parts.append(rc)
+        cct, _ = to_comp_first(arr["chroma_ac"][:, :, ic].astype(jnp.int32),
+                               4, 4)
+        dcht = dequant_4x4_t(cct, qpc4, ls4[1 + ic])
+        d00c = dci[..., blk_r, blk_c].reshape(-1)            # [B*n*4]
+        dcht = dcht.at[0, 0].set(d00c)
+        rc4 = from_comp_first(idct_4x4_t(dcht), (B, n, 4), 4, 4)
+        chroma_parts.append(_assemble_8x8_from_4(rc4))       # [B,n,8,8]
     chroma_res = jnp.stack(chroma_parts, axis=2)             # [B,n,2,8,8]
     pcm_chroma = arr["chroma_ac"].reshape(B, n, 2, 8, 8)
     chroma_res = jnp.where((kind == KIND_IPCM)[..., None, None, None],

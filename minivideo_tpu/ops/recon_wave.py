@@ -87,11 +87,29 @@ def _selection_matrix(tables, n):
             shift.reshape(9 * n * n).astype(np.int32))
 
 
+def _selection_matrix_i8(tables, n):
+    """int8 variant: the v5e MXU has a native s8 x s8 -> s32 path (one
+    pass vs six for exact f32).  Samples are shifted to s-128 in [-128,
+    127]; the constant 128*colsum(M) correction rides in a bias vector.
+    Tap weights are tiny (<= 4), so the product is exact in int32."""
+    M, rnd, shift = _selection_matrix(tables, n)
+    assert np.abs(M).max() <= 127
+    bias = (128.0 * M.sum(axis=0)).astype(np.int32)
+    return (M.astype(np.int8), bias, rnd, shift)
+
+
 _SEL4 = _selection_matrix(PRED4, 4)
 _SEL8 = _selection_matrix(PRED8, 8)
+_SEL4_I8 = _selection_matrix_i8(PRED4, 4)
+_SEL8_I8 = _selection_matrix_i8(PRED8, 8)
 
 _BLK_X = [int(BLK4x4_POS[b][0]) for b in range(16)]
 _BLK_Y = [int(BLK4x4_POS[b][1]) for b in range(16)]
+
+# profiling ablation switches (perf triage only — never set in production)
+_SKIP_I4 = False
+_SKIP_I8 = False
+_SKIP_CHROMA = False
 
 
 def _row_select_np(n):
@@ -126,14 +144,24 @@ def rows_from_flat(flat, n, rowsel=None):
 def _predict_flat(s, sel, mode, dc, n, rowsel=None):
     """s [..., S] int32; returns selected prediction [..., n, n].
 
-    One f32 matmul against the selection matrix (exact: small integers),
-    per-mode flat slices, where-selected shifts, one-hot mode select."""
-    M, rnd_flat, shift_flat = sel
+    One matmul against the selection matrix (exact: small integers),
+    per-mode flat slices, where-selected shifts, one-hot mode select.
+    A 4-tuple sel is the int8 MXU path (M_i8, bias, rnd, shift); a
+    3-tuple is the exact-f32 fallback (Pallas driver)."""
     lead = s.shape[:-1]
     nn = n * n
-    acc = jnp.dot(s.astype(jnp.float32).reshape((-1, s.shape[-1])),
-                  M, precision=jax.lax.Precision.HIGHEST)
-    acc = acc.astype(jnp.int32).reshape(lead + (9 * nn,))
+    if len(sel) == 4:
+        M8, bias, rnd_flat, shift_flat = sel
+        s8 = (s - 128).astype(jnp.int8).reshape((-1, s.shape[-1]))
+        acc = jax.lax.dot_general(
+            s8, M8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = (acc + bias).reshape(lead + (9 * nn,))
+    else:
+        M, rnd_flat, shift_flat = sel
+        acc = jnp.dot(s.astype(jnp.float32).reshape((-1, s.shape[-1])),
+                      M, precision=jax.lax.Precision.HIGHEST)
+        acc = acc.astype(jnp.int32).reshape(lead + (9 * nn,))
     out_flat = jnp.zeros(lead + (nn,), dtype=jnp.int32)
     for m in range(9):
         if m == 2:
@@ -273,9 +301,9 @@ def wave_compute(left_col, corner, top_row, tr_row, left_c, corner_cb,
     unparsed lanes produce zeros.
     """
     if sel4 is None:
-        sel4 = tuple(jnp.asarray(t) for t in _SEL4)
+        sel4 = tuple(jnp.asarray(t) for t in _SEL4_I8)
     if sel8 is None:
-        sel8 = tuple(jnp.asarray(t) for t in _SEL8)
+        sel8 = tuple(jnp.asarray(t) for t in _SEL8_I8)
     lead = kind.shape
     ones = jnp.ones_like(al)
     zeros_b = jnp.zeros_like(al)
@@ -296,7 +324,7 @@ def wave_compute(left_col, corner, top_row, tr_row, left_c, corner_cb,
 
     # ---- I4x4: 16 static block steps ------------------------------------
     is4 = kind == KIND_I4x4
-    for b in range(16):
+    for b in range(16) if not _SKIP_I4 else ():
         bx, by = _BLK_X[b], _BLK_Y[b]
         if bx == 0:
             l4 = left_col[..., by:by + 4]
@@ -355,7 +383,7 @@ def wave_compute(left_col, corner, top_row, tr_row, left_c, corner_cb,
 
     # ---- I8x8: 4 static block steps --------------------------------------
     is8 = kind == KIND_I8x8
-    for b8 in range(4):
+    for b8 in range(4) if not _SKIP_I8 else ():
         bx, by = (b8 % 2) * 8, (b8 // 2) * 8
         if bx == 0:
             l8 = left_col[..., by:by + 8]
@@ -427,7 +455,8 @@ def wave_compute(left_col, corner, top_row, tr_row, left_c, corner_cb,
 
     # ---- chroma (per component, flat refs) -------------------------------
     ctiles = []
-    for ic, ccorner in ((0, corner_cb_m), (1, corner_cr_m)):
+    for ic, ccorner in (((0, corner_cb_m), (1, corner_cr_m))
+                        if not _SKIP_CHROMA else ()):
         lc = left_c_m[..., ic * 8:(ic + 1) * 8]
         tc = top_c_m[..., ic * 8:(ic + 1) * 8]
         st0 = tc[..., :4].sum(-1)
@@ -472,6 +501,8 @@ def wave_compute(left_col, corner, top_row, tr_row, left_c, corner_cb,
         predc = jnp.where(is_pcm[..., None, None], 0, predc)
         resc = res_chroma[..., ic * 8:(ic + 1) * 8, :]
         ctiles.append(jnp.clip(predc + resc, 0, 255))
+    if _SKIP_CHROMA:
+        ctiles = [jnp.zeros(lead + (8, 8), jnp.int32)] * 2
     ctile = jnp.concatenate(ctiles, axis=-2)        # [..., 16, 8]
 
     pmask = parsed > 0
@@ -593,8 +624,11 @@ def make_reconstruct_wave(wmb: int, hmb: int):
     r0s = jnp.asarray(g["r0"])
     c0s = jnp.asarray(g["c0"])
 
-    def wave_body(w, state):
-        (out_y, out_c, row_y, row_c, bot_y, bot_c, sk) = state
+    def wave_body(w, state, sk):
+        # sk (meta + residual slabs, 100s of MB) is closure-captured, NOT
+        # loop-carried: carried dict leaves XLA free to copy it per
+        # iteration; as a captured constant it stays put in HBM.
+        (out_y, out_c, row_y, row_c, bot_y, bot_c) = state
         B = row_y.shape[0]
         r0 = r0s[w]
         c0 = c0s[w]
@@ -667,7 +701,7 @@ def make_reconstruct_wave(wmb: int, hmb: int):
             [ctile[..., 7, :], ctile[..., 15, :]], axis=-1)
         bot_c = bot_update(bot_c, botc_new, pc, half, updm)
 
-        return (out_y, out_c, row_y, row_c, bot_y, bot_c, sk)
+        return (out_y, out_c, row_y, row_c, bot_y, bot_c)
 
     def recon(arrays, ls4, ls8, cb_off, cr_off):
         res = build_residuals(arrays, ls4, ls8, cb_off, cr_off)
@@ -681,8 +715,9 @@ def make_reconstruct_wave(wmb: int, hmb: int):
         bot_y = jnp.zeros((B, 2, BOTP, 16), dtype=jnp.int32)
         bot_c = jnp.zeros((B, 2, BOTP, 16), dtype=jnp.int32)
 
-        state = (out_y, out_c, row_y, row_c, bot_y, bot_c, sk)
-        state = jax.lax.fori_loop(0, n_waves, wave_body, state)
+        state = (out_y, out_c, row_y, row_c, bot_y, bot_c)
+        state = jax.lax.fori_loop(
+            0, n_waves, lambda w, s: wave_body(w, s, sk), state)
         out_y, out_c = state[0], state[1]
         return unskew_planes(out_y, out_c, g)
 

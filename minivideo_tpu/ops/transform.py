@@ -31,37 +31,114 @@ def level_scale_8x8_np(scaling_list_zz) -> np.ndarray:
     return (w[None] * NORM_ADJUST_8x8).astype(np.int32)       # [6,8,8]
 
 
+# ---------------------------------------------------------------------------
+# Lane-friendly internals.  The natural layouts ([..., 4, 4] / [..., 8, 8])
+# put the tiny block dims on the TPU's (sublane, lane) tiling — every VPU op
+# then runs at 16/1024 utilization.  The *_t functions instead work on
+# "components-first" tensors [blk_h, blk_w, N] where N (all batched blocks,
+# flattened) rides the lanes at full width; the public wrappers transpose
+# once in and once out.
+
+
+def to_comp_first(x, h, w):
+    """[..., h, w] -> ([h, w, N], lead_shape)."""
+    lead = x.shape[:-2]
+    return x.reshape((-1, h, w)).transpose(1, 2, 0), lead
+
+
+def from_comp_first(t, lead, h, w):
+    return t.transpose(2, 0, 1).reshape(lead + (h, w))
+
+
+def dequant_4x4_t(ct, qp, ls):
+    """ct [4, 4, N] int32; qp [N]; ls [6, 4, 4] (spec 8.5.12.1)."""
+    m = qp % 6
+    div = qp // 6
+    scale = jnp.moveaxis(ls, 0, -1)[:, :, m]       # [4, 4, N]
+    shift_l = jnp.maximum(div - 4, 0)
+    shift_r = jnp.maximum(4 - div, 0)
+    rnd = jnp.where(div < 4, 1 << jnp.maximum(3 - div, 0), 0)
+    hi = (ct * scale) << shift_l
+    lo = (ct * scale + rnd) >> shift_r
+    return jnp.where(qp >= 24, hi, lo)
+
+
+def dequant_8x8_t(ct, qp, ls8):
+    """ct [8, 8, N]; qp [N]; ls8 [6, 8, 8] (spec 8.5.13.1)."""
+    m = qp % 6
+    div = qp // 6
+    scale = jnp.moveaxis(ls8, 0, -1)[:, :, m]
+    shift_l = jnp.maximum(div - 6, 0)
+    shift_r = jnp.maximum(6 - div, 0)
+    rnd = jnp.where(div < 6, 1 << jnp.maximum(5 - div, 0), 0)
+    hi = (ct * scale) << shift_l
+    lo = (ct * scale + rnd) >> shift_r
+    return jnp.where(qp >= 36, hi, lo)
+
+
+def idct_4x4_t(t):
+    """4x4 inverse core transform on [4, 4, N] (spec 8.5.12.2)."""
+    e0 = t[:, 0] + t[:, 2]                         # [4, N]
+    e1 = t[:, 0] - t[:, 2]
+    e2 = (t[:, 1] >> 1) - t[:, 3]
+    e3 = t[:, 1] + (t[:, 3] >> 1)
+    f = jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=1)
+    g0 = f[0] + f[2]                               # [4, N]
+    g1 = f[0] - f[2]
+    g2 = (f[1] >> 1) - f[3]
+    g3 = f[1] + (f[3] >> 1)
+    h = jnp.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=0)
+    return (h + 32) >> 6
+
+
+def _idct8_stage_t(rows):
+    d0, d1, d2, d3, d4, d5, d6, d7 = rows
+    a0 = d0 + d4
+    a4 = d0 - d4
+    a2 = (d2 >> 1) - d6
+    a6 = d2 + (d6 >> 1)
+    b0 = a0 + a6
+    b2 = a4 + a2
+    b4 = a4 - a2
+    b6 = a0 - a6
+    a1 = -d3 + d5 - d7 - (d7 >> 1)
+    a3 = d1 + d7 - d3 - (d3 >> 1)
+    a5 = -d1 + d7 + d5 + (d5 >> 1)
+    a7 = d3 + d5 + d1 + (d1 >> 1)
+    b1 = a1 + (a7 >> 2)
+    b7 = a7 - (a1 >> 2)
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    return [b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+            b6 - b1, b4 - b3, b2 - b5, b0 - b7]
+
+
+def idct_8x8_t(t):
+    """8x8 inverse transform on [8, 8, N] (spec 8.5.13.2)."""
+    f = _idct8_stage_t([t[:, k] for k in range(8)])   # cols -> list of [8,N]
+    f = jnp.stack(f, axis=1)                          # [8, 8, N]
+    h = _idct8_stage_t([f[k] for k in range(8)])      # rows
+    h = jnp.stack(h, axis=0)
+    return (h + 32) >> 6
+
+
 def dequant_4x4(c, qp, ls):
     """Vectorised 8.5.12.1.  c: [..., 4, 4] int32; qp: [...] int32
     broadcastable; ls: [6, 4, 4]."""
     c = c.astype(jnp.int32)
-    qp = qp.astype(jnp.int32)
-    m = qp % 6
-    div = qp // 6
-    scale = ls[m]                                  # [..., 4, 4]
-    shift_l = jnp.maximum(div - 4, 0)[..., None, None]
-    shift_r = jnp.maximum(4 - div, 0)[..., None, None]
-    rnd = jnp.where(div[..., None, None] < 4,
-                    1 << jnp.maximum(3 - div, 0)[..., None, None], 0)
-    hi = (c * scale) << shift_l
-    lo = (c * scale + rnd) >> shift_r
-    return jnp.where(qp[..., None, None] >= 24, hi, lo)
+    qp = jnp.broadcast_to(qp.astype(jnp.int32), c.shape[:-2])
+    ct, lead = to_comp_first(c, 4, 4)
+    out = dequant_4x4_t(ct, qp.reshape(-1), ls)
+    return from_comp_first(out, lead, 4, 4)
 
 
 def dequant_8x8(c, qp, ls8):
     """Vectorised 8.5.13.1.  c: [..., 8, 8]; ls8: [6, 8, 8]."""
     c = c.astype(jnp.int32)
-    qp = qp.astype(jnp.int32)
-    m = qp % 6
-    div = qp // 6
-    scale = ls8[m]
-    shift_l = jnp.maximum(div - 6, 0)[..., None, None]
-    shift_r = jnp.maximum(6 - div, 0)[..., None, None]
-    rnd = jnp.where(div[..., None, None] < 6,
-                    1 << jnp.maximum(5 - div, 0)[..., None, None], 0)
-    hi = (c * scale) << shift_l
-    lo = (c * scale + rnd) >> shift_r
-    return jnp.where(qp[..., None, None] >= 36, hi, lo)
+    qp = jnp.broadcast_to(qp.astype(jnp.int32), c.shape[:-2])
+    ct, lead = to_comp_first(c, 8, 8)
+    out = dequant_8x8_t(ct, qp.reshape(-1), ls8)
+    return from_comp_first(out, lead, 8, 8)
 
 
 _HAD4 = jnp.array([[1, 1, 1, 1],
@@ -103,45 +180,11 @@ def chroma_dc_transform(c, qp, ls):
 def idct_4x4(d):
     """4x4 inverse core transform (spec 8.5.12.2).  d: [..., 4, 4] int32;
     returns (h + 32) >> 6."""
-    d = d.astype(jnp.int32)
-    e0 = d[..., :, 0] + d[..., :, 2]
-    e1 = d[..., :, 0] - d[..., :, 2]
-    e2 = (d[..., :, 1] >> 1) - d[..., :, 3]
-    e3 = d[..., :, 1] + (d[..., :, 3] >> 1)
-    f = jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
-    g0 = f[..., 0, :] + f[..., 2, :]
-    g1 = f[..., 0, :] - f[..., 2, :]
-    g2 = (f[..., 1, :] >> 1) - f[..., 3, :]
-    g3 = f[..., 1, :] + (f[..., 3, :] >> 1)
-    h = jnp.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=-2)
-    return (h + 32) >> 6
-
-
-def _idct8_stage(rows, axis):
-    d0, d1, d2, d3, d4, d5, d6, d7 = rows
-    a0 = d0 + d4
-    a4 = d0 - d4
-    a2 = (d2 >> 1) - d6
-    a6 = d2 + (d6 >> 1)
-    b0 = a0 + a6
-    b2 = a4 + a2
-    b4 = a4 - a2
-    b6 = a0 - a6
-    a1 = -d3 + d5 - d7 - (d7 >> 1)
-    a3 = d1 + d7 - d3 - (d3 >> 1)
-    a5 = -d1 + d7 + d5 + (d5 >> 1)
-    a7 = d3 + d5 + d1 + (d1 >> 1)
-    b1 = a1 + (a7 >> 2)
-    b7 = a7 - (a1 >> 2)
-    b3 = a3 + (a5 >> 2)
-    b5 = (a3 >> 2) - a5
-    return jnp.stack([b0 + b7, b2 + b5, b4 + b3, b6 + b1,
-                      b6 - b1, b4 - b3, b2 - b5, b0 - b7], axis=axis)
+    t, lead = to_comp_first(d.astype(jnp.int32), 4, 4)
+    return from_comp_first(idct_4x4_t(t), lead, 4, 4)
 
 
 def idct_8x8(d):
     """8x8 inverse transform (spec 8.5.13.2).  d: [..., 8, 8] int32."""
-    d = d.astype(jnp.int32)
-    f = _idct8_stage([d[..., :, k] for k in range(8)], axis=-1)
-    h = _idct8_stage([f[..., k, :] for k in range(8)], axis=-2)
-    return (h + 32) >> 6
+    t, lead = to_comp_first(d.astype(jnp.int32), 8, 8)
+    return from_comp_first(idct_8x8_t(t), lead, 8, 8)
