@@ -12,6 +12,7 @@ from minivideo_tpu.models.h264.nalu import parse_nalu, split_annexb
 from minivideo_tpu.models.h264.recon_np import reconstruct_frame
 from minivideo_tpu.ops import transform as tj
 from minivideo_tpu.ops.recon import pack_frames, reconstruct_frames
+from minivideo_tpu.ops.recon_lane import reconstruct_frames_lane
 from minivideo_tpu.ops.recon_wave import reconstruct_frames_wave
 
 
@@ -63,12 +64,18 @@ def test_transforms_bitexact(qp):
     np.testing.assert_array_equal(wantc, gotc)
 
 
-def _compare(data, engines=("scatter", "wave")):
+_ENGINES = {
+    "scatter": reconstruct_frames,
+    "wave": reconstruct_frames_wave,
+    "lane": reconstruct_frames_lane,
+}
+
+
+def _compare(data, engines=("scatter", "wave", "lane")):
     frames, sps, pps = _parse_stream(data)
     packed = pack_frames(frames, sps, pps)
     for engine in engines:
-        fn = (reconstruct_frames if engine == "scatter"
-              else reconstruct_frames_wave)
+        fn = _ENGINES[engine]
         yj, cbj, crj = (np.asarray(a) for a in fn(packed))
         for i, (fs, som) in enumerate(frames):
             y, cb, cr = reconstruct_frame(fs, sps, pps, som)
@@ -84,6 +91,14 @@ def _compare(data, engines=("scatter", "wave")):
 def test_recon_vs_oracle_kinds(kinds):
     data = make_stream(width_mbs=5, height_mbs=4, n_pictures=2, seed=33,
                        mb_kinds=kinds, density=0.4, allow_pcm=True)
+    _compare(data)
+
+
+@pytest.mark.parametrize("kinds", [("i8",), ("i16", "i4", "i8")])
+def test_recon_vs_oracle_i8(kinds):
+    data = make_stream(width_mbs=5, height_mbs=4, n_pictures=2, seed=34,
+                       mb_kinds=kinds, density=0.4, transform_8x8=True,
+                       allow_pcm=False)
     _compare(data)
 
 
