@@ -155,14 +155,9 @@ def _wave_kernel(dr0s_ref, shtop_ref, meta_ref, resl_ref, resc_ref,
     botA_c[b] = jnp.concatenate([ctile[56:64], ctile[120:128]], axis=0)
 
 
-def make_reconstruct_lane_pallas(wmb: int, hmb: int, batch: int,
-                                 interpret: bool = False):
-    """Build a jitted reconstructor (fixed geometry AND batch size)."""
-    g = skew_tables(wmb, hmb)
-    g["wmb"], g["hmb"] = wmb, hmb
-    n_waves, maxw = g["n_waves"], g["maxw"]
-    B = batch
-
+def wave_schedule(g):
+    """Per-wave lane-shift schedules (dr0, shtop) from the skew tables."""
+    n_waves = g["n_waves"]
     r0 = g["r0"].astype(np.int64)
     dr0 = np.diff(r0, prepend=r0[0]).astype(np.int32)
     r0m2 = np.concatenate([r0[:1], r0[:1], r0[:-2]])
@@ -170,6 +165,14 @@ def make_reconstruct_lane_pallas(wmb: int, hmb: int, batch: int,
     shtop = shtop.astype(np.int32)
     assert set(np.unique(dr0)) <= {0, 1}
     assert set(np.unique(shtop)) <= {0, 1}
+    return dr0, shtop
+
+
+def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False):
+    """The bare pallas_call for the wave loop (for timing/inspection)."""
+    g = skew_tables(wmb, hmb)
+    n_waves, maxw = g["n_waves"], g["maxw"]
+    B = batch
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -200,7 +203,7 @@ def make_reconstruct_lane_pallas(wmb: int, hmb: int, batch: int,
         ],
     )
 
-    kernel = pl.pallas_call(
+    return pl.pallas_call(
         partial(_wave_kernel, maxw=maxw),
         grid_spec=grid_spec,
         out_shape=[
@@ -209,6 +212,15 @@ def make_reconstruct_lane_pallas(wmb: int, hmb: int, batch: int,
         ],
         interpret=interpret,
     )
+
+
+def make_reconstruct_lane_pallas(wmb: int, hmb: int, batch: int,
+                                 interpret: bool = False):
+    """Build a jitted reconstructor (fixed geometry AND batch size)."""
+    g = skew_tables(wmb, hmb)
+    g["wmb"], g["hmb"] = wmb, hmb
+    dr0, shtop = wave_schedule(g)
+    kernel = _build_kernel(wmb, hmb, batch, interpret)
 
     dr0j = jnp.asarray(dr0)
     shtopj = jnp.asarray(shtop)
