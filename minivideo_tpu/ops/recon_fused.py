@@ -1,0 +1,248 @@
+"""Batch-fused single-kernel Pallas wavefront reconstruction.
+
+Evolution of ops/recon_lane_pallas.py: the batch dimension is merged
+into the LANE axis (L = B * maxw) so ONE grid step reconstructs one wave
+of EVERY frame.  At 1080p batch 16 this cuts the sequential grid from
+254 x 16 = 4064 steps to 254, amortising the per-step fixed cost 16x and
+filling the VPU lanes (61 lanes -> 976).
+
+Frame boundaries inside the merged lane axis only matter for the
+boundary-state rolls: lane k's state shifts to lane k+1 within a frame's
+maxw-lane segment, so the roll masks use (lane % maxw) instead of the
+global lane index; everything else in the per-wave math is lane-local
+(ops/recon_lane.wave_compute_lane, shared with the per-frame drivers and
+bit-exact vs the numpy oracle — tests/test_recon_fused.py).
+
+Reference scope: intra prediction + reconstruction per
+h264_intra_prediction.c / h264_transform.c (see ops/recon.py docstrings
+for file:line citations).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .recon import PackedFrames, build_residuals
+from .recon_lane import _SEL4_T, _SEL8_T, wave_compute_lane
+from .recon_wave import pack_skewed, skew_tables, unskew_planes
+from .recon_lane_pallas import wave_schedule
+
+
+def _roll_right_seg(x, maxw):
+    """Lane k <- k-1 within each maxw-lane frame segment; segment lane 0
+    zero-filled."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % maxw
+    return jnp.where(lane >= 1, pltpu.roll(x, 1, 1), 0)
+
+
+def _roll_left_seg(x, maxw, L):
+    """Lane k <- k+1 within each segment; last segment lane zero-filled.
+    (pltpu.roll needs a non-negative shift: left-by-1 == right-by-L-1.)"""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % maxw
+    return jnp.where(lane < maxw - 1, pltpu.roll(x, L - 1, 1), 0)
+
+
+def _wave_kernel(dr0s_ref, shtop_ref, meta_ref, resl_ref, resc_ref,
+                 s4m_ref, s4r_ref, s4s_ref, s8m_ref, s8r_ref, s8s_ref,
+                 outy_ref, outc_ref,
+                 row_y, row_c, botA_y, botB_y, botA_c, botB_c, tile_scr,
+                 *, maxw, L):
+    """Grid (w,): one wave of all B frames; dr0s/shtop scalar-prefetched.
+
+    Blocks: meta [1, 32, L] i32; resl [1, 256, L]; resc [1, 128, L];
+    outy [1, 256, L]; outc [1, 128, L].  Scratch: row_y/row_c [24, L]
+    (rows 0-15 right column, 16(/17) corner(s), rest pad), botA_*/botB_*
+    [16, L] (previous / previous-2 wave bottom rows), tile_scr [256, L].
+    """
+    w = pl.program_id(0)
+
+    @pl.when(w == 0)
+    def _init():
+        row_y[...] = jnp.zeros_like(row_y)
+        row_c[...] = jnp.zeros_like(row_c)
+        botA_y[...] = jnp.zeros_like(botA_y)
+        botB_y[...] = jnp.zeros_like(botB_y)
+        botA_c[...] = jnp.zeros_like(botA_c)
+        botB_c[...] = jnp.zeros_like(botB_c)
+
+    dr0 = dr0s_ref[w]
+    shtop = shtop_ref[w]
+    shtr = 1 - dr0
+
+    # ---- state reads (wave-lane coords, per-frame segments) ---------------
+    ry = row_y[...]
+    ry = jnp.where(dr0 == 1, _roll_right_seg(ry, maxw), ry)
+    rc = row_c[...]
+    rc = jnp.where(dr0 == 1, _roll_right_seg(rc, maxw), rc)
+    left_col = ry[:16]
+    corner = ry[16:17]
+    left_c = rc[:16]
+    corner_cb = rc[16:17]
+    corner_cr = rc[17:18]
+
+    bB = botB_y[...]
+    top_row = jnp.where(shtop == 1, _roll_left_seg(bB, maxw, L), bB)
+    bA = botA_y[...]
+    tr_row = jnp.where(shtr == 1, _roll_left_seg(bA, maxw, L), bA)
+    bBc = botB_c[...]
+    top_c = jnp.where(shtop == 1, _roll_left_seg(bBc, maxw, L), bBc)
+
+    meta = meta_ref[0]                               # [32, L]
+    kind = meta[0:1]
+    parsed = meta[1:2]
+    al = meta[2:3] > 0
+    at = meta[3:4] > 0
+    atl = meta[4:5] > 0
+    atr = meta[5:6] > 0
+    i16_mode = meta[6:7]
+    cmode = meta[7:8]
+    modes8 = meta[8:12]
+    modes4 = meta[12:28]
+
+    tile, ctile = wave_compute_lane(
+        left_col, corner, top_row, tr_row, left_c, corner_cb, corner_cr,
+        top_c, kind, al, at, atl, atr, parsed, modes4, modes8,
+        i16_mode, cmode, resl_ref[0], resc_ref[0],
+        sel4=(s4m_ref[...], s4r_ref[...], s4s_ref[...]),
+        sel8=(s8m_ref[...], s8r_ref[...], s8s_ref[...]),
+        tile_ref=tile_scr)
+
+    outy_ref[0] = tile
+    outc_ref[0] = ctile
+
+    # ---- state updates ----------------------------------------------------
+    upd = parsed > 0                                  # [1, L]
+    right_col = jnp.concatenate(
+        [tile[y * 16 + 15:y * 16 + 16] for y in range(16)], axis=0)
+    new_row = jnp.concatenate(
+        [right_col, top_row[15:16], jnp.zeros((7, L), jnp.int32)],
+        axis=0)
+    row_y[...] = jnp.where(upd, new_row, ry)
+
+    cright = jnp.concatenate(
+        [ctile[y * 8 + 7:y * 8 + 8] for y in range(16)], axis=0)
+    new_rowc = jnp.concatenate(
+        [cright, top_c[7:8], top_c[15:16],
+         jnp.zeros((6, L), jnp.int32)], axis=0)
+    row_c[...] = jnp.where(upd, new_rowc, rc)
+
+    # double-buffer rotate: B <- A (still in wave w-1 coords), A <- new
+    botB_y[...] = bA
+    botA_y[...] = tile[240:256]
+    botB_c[...] = botA_c[...]
+    botA_c[...] = jnp.concatenate([ctile[56:64], ctile[120:128]], axis=0)
+
+
+def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False):
+    g = skew_tables(wmb, hmb)
+    n_waves, maxw = g["n_waves"], g["maxw"]
+    L = batch * maxw
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_waves,),
+        in_specs=[
+            pl.BlockSpec((1, 32, L), lambda w, *_: (w, 0, 0)),
+            pl.BlockSpec((1, 256, L), lambda w, *_: (w, 0, 0)),
+            pl.BlockSpec((1, 128, L), lambda w, *_: (w, 0, 0)),
+            pl.BlockSpec((144, 13), lambda w, *_: (0, 0)),
+            pl.BlockSpec((144,), lambda w, *_: (0,)),
+            pl.BlockSpec((144,), lambda w, *_: (0,)),
+            pl.BlockSpec((576, 25), lambda w, *_: (0, 0)),
+            pl.BlockSpec((576,), lambda w, *_: (0,)),
+            pl.BlockSpec((576,), lambda w, *_: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 256, L), lambda w, *_: (w, 0, 0)),
+            pl.BlockSpec((1, 128, L), lambda w, *_: (w, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((24, L), jnp.int32),
+            pltpu.VMEM((24, L), jnp.int32),
+            pltpu.VMEM((16, L), jnp.int32),
+            pltpu.VMEM((16, L), jnp.int32),
+            pltpu.VMEM((16, L), jnp.int32),
+            pltpu.VMEM((16, L), jnp.int32),
+            pltpu.VMEM((256, L), jnp.int32),
+        ],
+    )
+
+    return pl.pallas_call(
+        partial(_wave_kernel, maxw=maxw, L=L),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_waves, 256, L), jnp.int32),
+            jax.ShapeDtypeStruct((n_waves, 128, L), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def pack_fused(arrays, res, g, batch):
+    """pack_skewed output -> wave-major slabs with lanes = B * maxw."""
+    n_waves, maxw = g["skew_idx"].shape
+    B = batch
+    sk0 = pack_skewed(arrays, res, g)
+    # [B, W, maxw, S] -> [W, S, B*maxw]
+    meta = sk0["meta"].transpose(1, 3, 0, 2).reshape(n_waves, 32, B * maxw)
+    resl = sk0["res_luma"].reshape(B, n_waves, maxw, 256).transpose(
+        1, 3, 0, 2).reshape(n_waves, 256, B * maxw)
+    resc = sk0["res_chroma"].reshape(B, n_waves, maxw, 128).transpose(
+        1, 3, 0, 2).reshape(n_waves, 128, B * maxw)
+    return meta, resl, resc
+
+
+def unskew_fused(out_y, out_c, g, batch):
+    """[W, 256|128, B*maxw] -> (Y, Cb, Cr) raster planes [B, H, W]."""
+    n_waves, maxw = g["skew_idx"].shape
+    B = batch
+    oy = out_y.reshape(n_waves, 256, B, maxw).transpose(2, 0, 3, 1)
+    oc = out_c.reshape(n_waves, 128, B, maxw).transpose(2, 0, 3, 1)
+    return unskew_planes(oy.reshape(B, n_waves, maxw, 16, 16),
+                         oc.reshape(B, n_waves, maxw, 16, 8), g)
+
+
+def make_reconstruct_fused(wmb: int, hmb: int, batch: int,
+                           interpret: bool = False):
+    """Build a jitted reconstructor (fixed geometry AND batch size)."""
+    g = skew_tables(wmb, hmb)
+    g["wmb"], g["hmb"] = wmb, hmb
+    dr0, shtop = wave_schedule(g)
+    kernel = _build_kernel(wmb, hmb, batch, interpret)
+    dr0j = jnp.asarray(dr0)
+    shtopj = jnp.asarray(shtop)
+
+    def recon(arrays, ls4, ls8, cb_off, cr_off):
+        res = build_residuals(arrays, ls4, ls8, cb_off, cr_off)
+        meta, resl, resc = pack_fused(arrays, res, g, batch)
+        out_y, out_c = kernel(
+            dr0j, shtopj, meta, resl, resc,
+            jnp.asarray(_SEL4_T[0]), jnp.asarray(_SEL4_T[1]),
+            jnp.asarray(_SEL4_T[2]), jnp.asarray(_SEL8_T[0]),
+            jnp.asarray(_SEL8_T[1]), jnp.asarray(_SEL8_T[2]))
+        return unskew_fused(out_y.astype(jnp.uint8),
+                            out_c.astype(jnp.uint8), g, batch)
+
+    return jax.jit(recon)
+
+
+_CACHE = {}
+
+
+def reconstruct_frames_fused(packed: PackedFrames, interpret=False):
+    key = (packed.wmb, packed.hmb, packed.batch, interpret)
+    if key not in _CACHE:
+        _CACHE[key] = make_reconstruct_fused(
+            packed.wmb, packed.hmb, packed.batch, interpret)
+    fn = _CACHE[key]
+    arrays = {k: jnp.asarray(v) for k, v in packed.arrays.items()}
+    cb_off, cr_off = packed.chroma_qp_off
+    return fn(arrays, jnp.asarray(packed.ls4), jnp.asarray(packed.ls8),
+              cb_off, cr_off)

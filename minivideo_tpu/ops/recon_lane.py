@@ -13,16 +13,18 @@ reference samples, modes) lives in sublanes:
 
 The core `wave_compute_lane` is written strictly 2D (no batch dim) so
 Mosaic compiles each op as one dense vector op instead of unrolling over
-leading dims — that unrolling is what made the first Pallas kernel
-(ops/recon_pallas.py, tiles [B, maxw, 16, 16]) explode at 1080p.  Two
+leading dims — the unrolling is what made an earlier Pallas kernel
+(tiles [B, maxw, 16, 16], removed in round 2) explode at 1080p.  Three
 drivers share it:
 
   * this module's XLA driver (jax.vmap over the batch + lax.fori_loop
-    over waves) — used for CPU tests and as a fallback;
+    over waves) — used for CPU tests and as a fallback (the XLA drivers
+    are dispatch-bound at ~80 fps/1080p on v5e: ~50 kernel launches per
+    wave x 254 waves dominates wall clock);
   * ops/recon_lane_pallas.py — ONE Pallas kernel, grid (n_waves, B),
-    boundary state in VMEM scratch; the production TPU path (the XLA
-    drivers are dispatch-bound at ~80 fps/1080p on v5e: ~50 kernel
-    launches per wave x 254 waves dominates wall clock).
+    boundary state in VMEM scratch;
+  * ops/recon_fused.py — the flagship TPU engine: grid (n_waves,) with
+    the batch merged into the lane axis (L = B * maxw).
 
 All tile block reads/writes are static sublane slices/concats (columns
 are assembled from single-sublane slices — no gathers, no strided ops,

@@ -8,10 +8,11 @@ and writes in the wave loop are contiguous slabs — no gathers or scatters
 (the first engine, ops/recon.py, scatters into the frame plane and XLA
 serialises that to ~1 fps at 1080p on TPU).
 
-`wave_compute` is the pure per-wave math, shared between two drivers:
-  * this module's XLA driver (lax.fori_loop; CPU tests / fallback), and
-  * ops/recon_pallas.py — one Pallas kernel holding the boundary state in
-    VMEM scratch, the production TPU path.
+`wave_compute` is the pure per-wave math of this module's XLA driver
+(lax.fori_loop; CPU tests / fallback).  The production TPU path is the
+lane-major single-kernel family: ops/recon_lane.py (shared math),
+ops/recon_lane_pallas.py (per-frame grid) and ops/recon_fused.py
+(batch-in-lanes, the flagship engine).
 
 The code is written under Mosaic's lowering constraints (which also suit
 XLA fine): no gather/scatter, no lane-splitting reshapes (blocks are

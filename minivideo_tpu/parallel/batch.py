@@ -131,8 +131,8 @@ class _Recon:
 
     def _make(self, wmb, hmb, batch):
         if self.engine == "pallas":
-            from ..ops.recon_pallas import make_reconstruct_pallas
-            return make_reconstruct_pallas(wmb, hmb, batch)
+            from ..ops.recon_fused import make_reconstruct_fused
+            return make_reconstruct_fused(wmb, hmb, batch)
         from ..ops.recon_wave import make_reconstruct_wave
         return make_reconstruct_wave(wmb, hmb)
 

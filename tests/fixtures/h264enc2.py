@@ -86,6 +86,7 @@ def plan_frame(wmb, hmb, rng, slices, qp, mb_kinds=("i16", "i4"),
     while first < n_mbs:
         cnt = min(per_slice, n_mbs - first)
         plans = []
+        qp_run = qp          # QPYprev resets to the slice QP per slice
         for mb_addr in range(first, first + cnt):
             kinds = list(mb_kinds)
             if allow_pcm and rng.random() < 0.03:
@@ -98,13 +99,6 @@ def plan_frame(wmb, hmb, rng, slices, qp, mb_kinds=("i16", "i4"),
                                               dtype=np.uint8))
                 plans.append(p)
                 continue
-            # qp delta (avoid 36 for reference-golden comparability)
-            while True:
-                delta = int(rng.integers(-4, 5))
-                if (qp + delta) % 52 != 36:
-                    break
-            p["qp_delta"] = delta
-
             def pick(bx, by):
                 al, at, ac = _block_avail(wmb, hmb, first, mb_addr, bx, by)
                 valid = [m for m, (nl, nt, nc) in _MODE_NEEDS.items()
@@ -146,6 +140,19 @@ def plan_frame(wmb, hmb, rng, slices, qp, mb_kinds=("i16", "i4"),
             p["cac"] = [[_rand_levels(rng, 15, density, max_level)
                          if p["cbp_c"] == 2 else [0] * 15
                          for _ in range(4)] for _ in range(2)]
+            # qp delta, tracking the RUNNING QPY so no MB lands on 36
+            # (reference UB in Intra16x16 DC scaling, see h264enc.py
+            # _encode_qp_delta); only drawn when the delta is actually
+            # emitted (I16x16, or CBP nonzero)
+            if kind == "i16" or p["cbp_l"] or p["cbp_c"]:
+                while True:
+                    delta = int(rng.integers(-4, 5))
+                    if (qp_run + delta + 52) % 52 != 36:
+                        break
+                p["qp_delta"] = delta
+                qp_run = (qp_run + delta + 52) % 52
+            else:
+                p["qp_delta"] = 0
             plans.append(p)
         out.append(plans)
         first += cnt
@@ -701,8 +708,15 @@ def make_stream2(width_mbs=4, height_mbs=3, n_pictures=1, seed=0, qp=26,
     profile = 100 if (transform_8x8 or "i8" in mb_kinds or cabac) else 66
     out = bytearray()
     out += nalu(7, encode_sps(width_mbs, height_mbs, profile=profile))
+    # Always emit the PPS extension for High-profile streams: the
+    # reference decoder reads transform_8x8_mode_flag /
+    # second_chroma_qp_index_offset as uninitialized memory when the
+    # extension is absent (decodePPS never applies the spec defaults),
+    # which makes golden comparisons nondeterministic.
     out += nalu(8, encode_pps(qp=qp, entropy_cabac=cabac,
-                              transform_8x8=transform_8x8))
+                              transform_8x8=transform_8x8,
+                              second_chroma_qp_offset=(
+                                  0 if profile == 100 else None)))
     for pic in range(n_pictures):
         sliced = plan_frame(width_mbs, height_mbs, rng, n_slices, qp,
                             mb_kinds=mb_kinds, allow_pcm=allow_pcm,

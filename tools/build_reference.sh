@@ -24,6 +24,22 @@ EOH
 #define minivideo_EXPORT
 #endif
 EOH
+  # Fix an out-of-bounds read in the reference's CABAC ctxIdxOffset
+  # table search (h264_cabac.c getCtxIdx: `while (i < 22) { i++; ... }`
+  # reads ctxIdxOffset_table[22] of a 22-entry array).  GCC 12 -O2
+  # exploits the UB when vectorizing the loop and the compiled search
+  # spuriously "matches" offsets like 85 (coded_block_flag), killing ALL
+  # CABAC decoding.  Patching the bound restores the intended behavior
+  # so CABAC goldens are possible.
+  python3 - "$DST/src/decoder/h264/h264_cabac.c" <<'EOP'
+import sys
+p = sys.argv[1]
+s = open(p).read()
+old = ("    while (i < 22)\n    {\n        i++;\n\n"
+       "        if (ctxIdxOffset == ctxIdxOffset_table[i])")
+assert old in s, "CABAC table-search loop not found"
+open(p, 'w').write(s.replace(old, old.replace("i < 22", "i < 21"), 1))
+EOP
   # enable I_PCM decoding (compiled out by default)
   python3 - "$DST/src/minivideo_settings.h.in" <<'EOP'
 import sys

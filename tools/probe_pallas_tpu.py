@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Probe: compile + time the single-kernel Pallas lane driver on the real
-TPU chip at a given geometry.  Usage:
-    python tools/probe_pallas_tpu.py [WMB HMB BATCH [ITERS]]
+"""Probe: compile + time a single-kernel Pallas driver on the real TPU
+chip at a given geometry.  Usage:
+    python tools/probe_pallas_tpu.py [WMB HMB BATCH [ITERS [ENGINE]]]
+ENGINE: lane (per-frame grid) | fused (batch-in-lanes; default).
 Defaults to 1080p (120x68) batch 16 using the cached bench syntax.
 """
 
@@ -21,14 +22,19 @@ def main():
     hmb = int(sys.argv[2]) if len(sys.argv) > 2 else 68
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    engine = sys.argv[5] if len(sys.argv) > 5 else "fused"
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from minivideo_tpu.ops.recon_lane_pallas import (
-        make_reconstruct_lane_pallas)
+    if engine == "fused":
+        from minivideo_tpu.ops.recon_fused import (
+            make_reconstruct_fused as make_engine)
+    else:
+        from minivideo_tpu.ops.recon_lane_pallas import (
+            make_reconstruct_lane_pallas as make_engine)
 
     print("device:", jax.devices()[0], flush=True)
 
@@ -54,8 +60,9 @@ def main():
         v, (batch,) + v.shape[1:]).copy()) for k, v in arrays.items()}
     ls4j, ls8j = jnp.asarray(ls4), jnp.asarray(ls8)
 
-    fn = make_reconstruct_lane_pallas(wmb, hmb, batch)
-    print(f"compiling {wmb}x{hmb} MBs batch={batch} ...", flush=True)
+    fn = make_engine(wmb, hmb, batch)
+    print(f"compiling {engine} {wmb}x{hmb} MBs batch={batch} ...",
+          flush=True)
     t0 = time.time()
     y, cb, cr = fn(batch_arrays, ls4j, ls8j, offs[0], offs[1])
     _ = np.asarray(y[0, 0, :4])
