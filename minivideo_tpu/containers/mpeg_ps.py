@@ -72,28 +72,41 @@ def ps_parse(media: MediaFile) -> bool:
 
     ok = False
     for sid, packets in video.items():
-        codec = _sniff_video(data, packets)
-        t = _make_track(packets, StreamType.VIDEO, codec)
-        if codec == Codec.H264:
+        vinfo = _sniff_video(data, packets)
+        t = _make_track(packets, StreamType.VIDEO, vinfo.codec)
+        t.width, t.height = vinfo.width, vinfo.height
+        t.dar = vinfo.dar
+        if vinfo.framerate:
+            t.framerate = vinfo.framerate
+            t.framerate_num = vinfo.framerate_num
+            t.framerate_base = vinfo.framerate_base
+        if vinfo.codec == Codec.H264:
             # mark IDR-bearing packets as sync samples
             for j, (off, size, _, _) in enumerate(packets):
                 chunk = data[off:off + min(size, 4096)]
                 if (b"\x00\x00\x01\x65" in chunk
                         or b"\x00\x00\x01\x25" in chunk):
                     t.sample_type[j] = int(SampleType.VIDEO_SYNC)
-            t.compute_stats()
+        t.compute_stats()
         media.add_track(t)
         ok = True
-        trace.info("PS", "video stream 0x%02X: %d PES packets", sid,
-                   len(packets))
+        trace.info("PS", "video stream 0x%02X: %d PES packets %dx%d "
+                   "@ %.3f fps", sid, len(packets), t.width, t.height,
+                   t.framerate)
     for sid, packets in audio.items():
-        codec = (Codec.AC3 if sid == P.SID_PRIVATE_1
-                 else _sniff_audio(data, packets))
-        t = _make_track(packets, StreamType.AUDIO, codec)
+        ainfo = _sniff_audio(data, packets, sid == P.SID_PRIVATE_1)
+        t = _make_track(packets, StreamType.AUDIO, ainfo.codec)
+        t.sampling_rate = ainfo.sampling_rate
+        t.channel_count = ainfo.channels
+        t.sample_per_frames = ainfo.extra.get("sample_per_frames", 0)
+        t.compute_stats()
+        if not t.bitrate and ainfo.bitrate:
+            t.bitrate = ainfo.bitrate      # nominal, from the ES header
         media.add_track(t)
         ok = True
-        trace.info("PS", "audio stream 0x%02X: %d PES packets", sid,
-                   len(packets))
+        trace.info("PS", "audio stream 0x%02X: %d PES packets %s "
+                   "%d Hz", sid, len(packets), ainfo.codec.name,
+                   t.sampling_rate)
     trace.t1("PS", "stats: %s", stats)
     media.parsed = ok
     return ok
@@ -116,34 +129,34 @@ def _make_track(packets, stype, codec) -> Track:
     return t
 
 
-def _sniff_video(data, packets) -> Codec:
-    """Peek at the first payload bytes (reference parse_pes_v,
-    pes.c:985-1120 reads MPEG-1/2 sequence headers; H.264 detected by NALU
-    start codes)."""
-    if not packets:
-        return Codec.UNKNOWN
-    off, size, _, _ = packets[0]
-    head = data[off:off + min(size, 16)]
-    if head[:4] == b"\x00\x00\x01\xb3":
-        return Codec.MPEG2
-    if b"\x00\x00\x01" in head:
-        nalpos = head.find(b"\x00\x00\x01") + 3
-        if nalpos < len(head) and (head[nalpos] & 0x1F) in (5, 7, 8):
-            return Codec.H264
-    return Codec.MPEG2
+def _sniff_video(data, packets) -> P.EsVideoInfo:
+    """ES metadata from the first sniffable video payload (reference
+    parse_pes_v only inspects packets carrying a PTS — sample-aligned
+    payload starts; pes.c:992-996)."""
+    best = P.EsVideoInfo()
+    for off, size, pts, _ in packets[:32]:
+        if pts < 0 or size <= 0:
+            continue
+        info = P.sniff_video_es(data[off:off + min(size, 256)])
+        if info.codec != Codec.UNKNOWN:
+            if best.codec == Codec.UNKNOWN:
+                best = info
+            if info.width:
+                return info
+    if best.codec == Codec.UNKNOWN:
+        best.codec = Codec.MPEG2          # reference default assumption
+    return best
 
 
-def _sniff_audio(data, packets) -> Codec:
-    """Reference parse_pes_a reads AC-3 or MPEG audio headers
-    (pes.c:645-...)."""
-    if not packets:
-        return Codec.UNKNOWN
-    off, size, _, _ = packets[0]
-    head = data[off:off + min(size, 4)]
-    if head[:2] == b"\x0b\x77":
-        return Codec.AC3
-    if len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
-        layer = (head[1] >> 1) & 3
-        return {1: Codec.MPEG_L3, 2: Codec.MPEG_L2,
-                3: Codec.MPEG_L1}.get(layer, Codec.MPEG_L2)
-    return Codec.MPEG_L2
+def _sniff_audio(data, packets, private: bool) -> P.EsAudioInfo:
+    """ES metadata from the first sniffable audio payload (reference
+    parse_pes_a, pes.c:645-980)."""
+    for off, size, _, _ in packets[:32]:
+        if size <= 0:
+            continue
+        info = P.sniff_audio_es(data[off:off + min(size, 64)], private)
+        if info.codec != Codec.UNKNOWN:
+            return info
+    fallback = P.EsAudioInfo()
+    fallback.codec = Codec.AC3 if private else Codec.MPEG_L2
+    return fallback

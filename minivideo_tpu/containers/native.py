@@ -97,12 +97,54 @@ def native_demux(media: MediaFile) -> bool:
             t = _build_track(media.container, info, types, sizes, offs,
                              pts, dts, psets)
             if t is not None:
+                if media.container == Container.MPEG_PS:
+                    _sniff_ps_metadata(media, t, int(info[9]) == 0xBD)
                 media.add_track(t)
                 ok = True
         media.parsed = ok
         return ok
     finally:
         lib.mv_demux_close(h)
+
+
+def _sniff_ps_metadata(media: MediaFile, t: Track, private: bool) -> None:
+    """ES metadata for native-demuxed PS tracks: the byte-level sniffers
+    (containers/pes.py sniff_audio_es / sniff_video_es) are shared with
+    the Python demuxer so both paths report identical
+    dimensions/DAR/framerate/rates; only a few payload heads are read."""
+    from .pes import sniff_audio_es, sniff_video_es
+    fh = media.file_handle
+    for j in range(min(t.sample_count, 32)):
+        size = int(t.sample_size[j])
+        if size <= 0:
+            continue
+        fh.seek(int(t.sample_offset[j]))
+        head = fh.read(min(size, 256))
+        if t.stream_type == StreamType.VIDEO:
+            if int(t.sample_pts[j]) < 0:
+                continue
+            info = sniff_video_es(head)
+            if info.width:
+                t.width, t.height = info.width, info.height
+                t.dar = info.dar
+                if info.framerate:
+                    t.framerate = info.framerate
+                    t.framerate_num = info.framerate_num
+                    t.framerate_base = info.framerate_base
+                t.compute_stats()
+                return
+        else:
+            info = sniff_audio_es(head, private)
+            if info.codec != Codec.UNKNOWN:
+                t.stream_codec = info.codec   # header beats stream-id guess
+                t.sampling_rate = info.sampling_rate
+                t.channel_count = info.channels
+                t.sample_per_frames = info.extra.get(
+                    "sample_per_frames", 0)
+                t.compute_stats()
+                if not t.bitrate and info.bitrate:
+                    t.bitrate = info.bitrate
+                return
 
 
 def _resolve_codec(info) -> Codec:

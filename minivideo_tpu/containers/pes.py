@@ -1,14 +1,19 @@
-"""PES packet parsing, shared by MPEG-PS (and later TS).
+"""PES packet parsing + elementary-stream sniffers, shared by MPEG-PS
+(and later TS).
 
 Reference: minivideo/src/demuxer/mpeg/pes/pes.c — header + extension
-parsing incl. 33-bit PTS/DTS reconstruction (:107-456).
+parsing incl. 33-bit PTS/DTS reconstruction (:107-456); ES metadata
+sniffers parse_pes_a (AC-3 fscod/frmsizcod, DTS SFREQ/RATE, MPEG audio
+header — :645-980) and parse_pes_v (MPEG-1/2 sequence header: size,
+aspect ratio, framerate tables — :985-1120).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from .. import trace
+from ..codecs import Codec
 
 # stream_id ranges (spec ISO 13818-1 table 2-18)
 SID_PROGRAM_END = 0xB9
@@ -94,3 +99,139 @@ def parse_pes_header(data: bytes, pos: int) -> PesHeader:
     h.header_size = (p + 3 + hdr_len) - pos
     h.payload_size = plen - 3 - hdr_len
     return h
+
+
+# ---------------------------------------------------------------------------
+# elementary-stream metadata sniffers (reference parse_pes_a / parse_pes_v)
+
+# AC-3 (A/52 table 5.18): fscod -> sampling rate
+AC3_SAMPLE_RATES = (48000, 44100, 32000)
+# A/52 table 5.13: frmsizcod >> 1 -> nominal bitrate (kbps)
+AC3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+                320, 384, 448, 512, 576, 640)
+# DTS core SFREQ -> sampling rate (reference pes.c:777-815)
+DTS_SAMPLE_RATES = {1: 8000, 2: 16000, 3: 32000, 6: 11025, 7: 22050,
+                    8: 44100, 11: 12000, 12: 24000, 13: 48000}
+# DTS core RATE -> bitrate kbps (reference pes.c:816-895; 29 = "open")
+DTS_BITRATES = {0: 32, 1: 56, 2: 64, 3: 96, 4: 112, 5: 128, 6: 192,
+                7: 224, 8: 256, 9: 320, 10: 384, 11: 448, 12: 512,
+                13: 576, 14: 640, 15: 768, 16: 960, 17: 1024, 18: 1152,
+                19: 1280, 20: 1344, 21: 1408, 22: 1411, 23: 1472,
+                24: 1536, 29: 2048}
+
+# MPEG-1/2 sequence header framerate_index -> (fps, num, base)
+# (reference pes.c:1059-1108)
+MPEG_FRAMERATES = {1: (23.976, 24000, 1001), 2: (24.0, 24, 1),
+                   3: (25.0, 25, 1), 4: (29.970, 30000, 1001),
+                   5: (30.0, 30, 1), 6: (50.0, 50, 1),
+                   7: (59.940, 60000, 1001), 8: (60.0, 60, 1)}
+
+# MPEG-2 aspect_ratio_information -> display aspect ratio
+# (reference pes.c:1036-1055; 1 means square pixels -> DAR from size)
+MPEG2_DAR = {2: 4.0 / 3.0, 3: 16.0 / 9.0, 4: 2.21}
+
+
+@dataclass
+class EsAudioInfo:
+    codec: Codec = Codec.UNKNOWN
+    sampling_rate: int = 0
+    bitrate: int = 0              # bit/s
+    channels: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class EsVideoInfo:
+    codec: Codec = Codec.UNKNOWN
+    width: int = 0
+    height: int = 0
+    dar: float = 0.0
+    framerate: float = 0.0
+    framerate_num: int = 0
+    framerate_base: int = 0
+
+
+def sniff_audio_es(payload: bytes, private: bool = False) -> EsAudioInfo:
+    """Identify and read the audio ES header at the start of a PES
+    payload (reference parse_pes_a, pes.c:645-980).
+
+    Handles AC-3 (raw syncframe or DVD private-stream-1 substream
+    wrapper), DTS core, and MPEG-1/2 audio frames."""
+    info = EsAudioInfo()
+    if len(payload) < 8:
+        return info
+    # DVD private-stream-1 wrapper: substream id + counters (4 bytes)
+    body = payload
+    if private and payload[0] in range(0x80, 0xA0) \
+            and payload[:2] != b"\x0b\x77":
+        sync = payload.find(b"\x0b\x77", 0, 16)
+        if sync >= 0:
+            body = payload[sync:]
+    if body[:2] == b"\x0b\x77" and len(body) >= 5:
+        info.codec = Codec.AC3
+        fscod = body[4] >> 6
+        frmsizcod = body[4] & 0x3F
+        if fscod < 3:
+            info.sampling_rate = AC3_SAMPLE_RATES[fscod]
+        if (frmsizcod >> 1) < len(AC3_BITRATES):
+            info.bitrate = AC3_BITRATES[frmsizcod >> 1] * 1000
+        return info
+    if body[:4] in (b"\x7f\xfe\x80\x01", b"\x64\x58\x20\x25"):
+        info.codec = Codec.DTS
+        if len(body) >= 10:
+            word = int.from_bytes(body[6:10], "big")
+            sfreq = (word & 0x00003C00) >> 10
+            rate = (word & 0x000003E0) >> 5
+            info.sampling_rate = DTS_SAMPLE_RATES.get(sfreq, 0)
+            info.bitrate = DTS_BITRATES.get(rate, 0) * 1000
+        return info
+    if body[0] == 0xFF and (body[1] & 0xE0) == 0xE0:
+        from .mp3 import _parse_frame_header
+        parsed = _parse_frame_header(body[0], body[1], body[2], body[3])
+        layer = (body[1] >> 1) & 3
+        info.codec = {3: Codec.MPEG_L1, 2: Codec.MPEG_L2,
+                      1: Codec.MPEG_L3}.get(layer, Codec.MPEG_L3)
+        if parsed:
+            _, samplerate, bitrate, _, channels, spf = parsed
+            info.sampling_rate = samplerate
+            info.bitrate = bitrate
+            info.channels = channels
+            info.extra["sample_per_frames"] = spf
+        return info
+    return info
+
+
+def sniff_video_es(payload: bytes) -> EsVideoInfo:
+    """Identify and read the video ES header at the start of a PES
+    payload (reference parse_pes_v, pes.c:985-1120).
+
+    Handles MPEG-1/2 sequence headers (size/DAR/framerate) and H.264
+    Annex-B NALUs (codec identification only — dimensions come from the
+    SPS at decode time)."""
+    info = EsVideoInfo()
+    if len(payload) < 8:
+        return info
+    # the sequence header may follow a GOP/picture start code; search the
+    # first bytes of the payload like the reference's startcode scan
+    seq = payload.find(b"\x00\x00\x01\xb3", 0, 64)
+    if seq >= 0 and len(payload) >= seq + 8:
+        sizes = int.from_bytes(payload[seq + 4:seq + 8], "big")
+        info.codec = Codec.MPEG2
+        info.width = (sizes & 0xFFF00000) >> 20
+        info.height = (sizes & 0x000FFF00) >> 8
+        ari = (sizes & 0x000000F0) >> 4
+        fri = sizes & 0x0000000F
+        if ari == 1 and info.height:
+            info.dar = info.width / info.height
+        else:
+            info.dar = MPEG2_DAR.get(ari, 0.0)
+        if fri in MPEG_FRAMERATES:
+            (info.framerate, info.framerate_num,
+             info.framerate_base) = MPEG_FRAMERATES[fri]
+        return info
+    nal = payload.find(b"\x00\x00\x01", 0, 64)
+    if nal >= 0 and nal + 3 < len(payload):
+        ntype = payload[nal + 3] & 0x1F
+        if ntype in (1, 5, 6, 7, 8, 9):
+            info.codec = Codec.H264
+    return info

@@ -42,7 +42,10 @@ class Track:
     color_depth: int = 8
     par_h: int = 1             # pixel aspect ratio
     par_v: int = 1
+    dar: float = 0.0           # display aspect ratio (0 = derive from size)
     framerate: float = 0.0
+    framerate_num: int = 0     # rational framerate (0 = unknown)
+    framerate_base: int = 0
     framerate_mode: FramerateMode = FramerateMode.UNKNOWN
     frame_count: int = 0
     frame_count_idr: int = 0

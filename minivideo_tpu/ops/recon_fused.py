@@ -35,21 +35,31 @@ from .recon_wave import pack_skewed, skew_tables, unskew_planes
 from .recon_lane_pallas import wave_schedule
 
 
-def _roll_right_seg(x, maxw):
+def _seg_masks(maxw, batch):
+    """[1, B*maxw] int32 masks marking lanes whose roll source is inside
+    the same frame segment.  Precomputed host-side: an in-kernel
+    `iota % maxw` would need integer division, which Mosaic lowers
+    catastrophically (non-power-of-2 modulo)."""
+    lane = np.arange(batch * maxw) % maxw
+    right = (lane >= 1).astype(np.int32)[None]          # src = lane-1
+    left = (lane <= maxw - 2).astype(np.int32)[None]    # src = lane+1
+    return right, left
+
+
+def _roll_right_seg(x, mask):
     """Lane k <- k-1 within each maxw-lane frame segment; segment lane 0
-    zero-filled."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % maxw
-    return jnp.where(lane >= 1, pltpu.roll(x, 1, 1), 0)
+    zero-filled.  mask [1, L] broadcasts over sublanes."""
+    return jnp.where(mask > 0, pltpu.roll(x, 1, 1), 0)
 
 
-def _roll_left_seg(x, maxw, L):
+def _roll_left_seg(x, mask, L):
     """Lane k <- k+1 within each segment; last segment lane zero-filled.
     (pltpu.roll needs a non-negative shift: left-by-1 == right-by-L-1.)"""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % maxw
-    return jnp.where(lane < maxw - 1, pltpu.roll(x, L - 1, 1), 0)
+    return jnp.where(mask > 0, pltpu.roll(x, L - 1, 1), 0)
 
 
-def _wave_kernel(dr0s_ref, shtop_ref, meta_ref, resl_ref, resc_ref,
+def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
+                 meta_ref, resl_ref, resc_ref,
                  s4m_ref, s4r_ref, s4s_ref, s8m_ref, s8r_ref, s8s_ref,
                  outy_ref, outc_ref,
                  row_y, row_c, botA_y, botB_y, botA_c, botB_c, tile_scr,
@@ -76,11 +86,14 @@ def _wave_kernel(dr0s_ref, shtop_ref, meta_ref, resl_ref, resc_ref,
     shtop = shtop_ref[w]
     shtr = 1 - dr0
 
+    mr = mr_ref[...]
+    ml = ml_ref[...]
+
     # ---- state reads (wave-lane coords, per-frame segments) ---------------
     ry = row_y[...]
-    ry = jnp.where(dr0 == 1, _roll_right_seg(ry, maxw), ry)
+    ry = jnp.where(dr0 == 1, _roll_right_seg(ry, mr), ry)
     rc = row_c[...]
-    rc = jnp.where(dr0 == 1, _roll_right_seg(rc, maxw), rc)
+    rc = jnp.where(dr0 == 1, _roll_right_seg(rc, mr), rc)
     left_col = ry[:16]
     corner = ry[16:17]
     left_c = rc[:16]
@@ -88,11 +101,11 @@ def _wave_kernel(dr0s_ref, shtop_ref, meta_ref, resl_ref, resc_ref,
     corner_cr = rc[17:18]
 
     bB = botB_y[...]
-    top_row = jnp.where(shtop == 1, _roll_left_seg(bB, maxw, L), bB)
+    top_row = jnp.where(shtop == 1, _roll_left_seg(bB, ml, L), bB)
     bA = botA_y[...]
-    tr_row = jnp.where(shtr == 1, _roll_left_seg(bA, maxw, L), bA)
+    tr_row = jnp.where(shtr == 1, _roll_left_seg(bA, ml, L), bA)
     bBc = botB_c[...]
-    top_c = jnp.where(shtop == 1, _roll_left_seg(bBc, maxw, L), bBc)
+    top_c = jnp.where(shtop == 1, _roll_left_seg(bBc, ml, L), bBc)
 
     meta = meta_ref[0]                               # [32, L]
     kind = meta[0:1]
@@ -149,6 +162,8 @@ def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False):
         num_scalar_prefetch=2,
         grid=(n_waves,),
         in_specs=[
+            pl.BlockSpec((1, L), lambda w, *_: (0, 0)),
+            pl.BlockSpec((1, L), lambda w, *_: (0, 0)),
             pl.BlockSpec((1, 32, L), lambda w, *_: (w, 0, 0)),
             pl.BlockSpec((1, 256, L), lambda w, *_: (w, 0, 0)),
             pl.BlockSpec((1, 128, L), lambda w, *_: (w, 0, 0)),
@@ -218,12 +233,14 @@ def make_reconstruct_fused(wmb: int, hmb: int, batch: int,
     kernel = _build_kernel(wmb, hmb, batch, interpret)
     dr0j = jnp.asarray(dr0)
     shtopj = jnp.asarray(shtop)
+    mr_np, ml_np = _seg_masks(g["maxw"], batch)
+    mrj, mlj = jnp.asarray(mr_np), jnp.asarray(ml_np)
 
     def recon(arrays, ls4, ls8, cb_off, cr_off):
         res = build_residuals(arrays, ls4, ls8, cb_off, cr_off)
         meta, resl, resc = pack_fused(arrays, res, g, batch)
         out_y, out_c = kernel(
-            dr0j, shtopj, meta, resl, resc,
+            dr0j, shtopj, mrj, mlj, meta, resl, resc,
             jnp.asarray(_SEL4_T[0]), jnp.asarray(_SEL4_T[1]),
             jnp.asarray(_SEL4_T[2]), jnp.asarray(_SEL8_T[0]),
             jnp.asarray(_SEL8_T[1]), jnp.asarray(_SEL8_T[2]))

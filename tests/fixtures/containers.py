@@ -234,6 +234,52 @@ def _encode_pts(ts):
         ((ts & 0x7F) << 1) | 1])
 
 
+def write_ps_mpeg2(width=720, height=576, ari=2, fri=3,
+                   audio="mp2", n_packets=4) -> bytes:
+    """Minimal MPEG-2 PS with an MPEG-2 video ES (real sequence header:
+    size, aspect_ratio_information `ari`, frame_rate_code `fri`) and one
+    audio ES ("mp2" MPEG-1 Layer II 48kHz stereo, or "ac3" 44.1kHz
+    192kbps, or "dts" 48kHz 768kbps).  Payloads past the headers are
+    filler — enough for the PES ES sniffers, not for decoding."""
+    out = bytearray()
+    scr = bytes([0x44, 0x00, 0x04, 0x00, 0x04, 0x01])
+    out += b"\x00\x00\x01\xba" + scr + bytes([0x01, 0x89, 0xc3, 0xf8])
+    seqh = b"\x00\x00\x01\xb3" + bytes([
+        (width >> 4) & 0xFF,
+        ((width & 0xF) << 4) | ((height >> 8) & 0xF),
+        height & 0xFF,
+        (ari << 4) | fri]) + bytes([0xFF, 0xFF, 0xE0, 0x20])
+    pts = 3600
+    for i in range(n_packets):
+        payload = (seqh if i == 0 else b"") + b"\x00\x00\x01\x00" \
+            + bytes(32)
+        tail = bytes([0x80, 0x80, 5]) + _encode_pts(pts + i * 3600)
+        ln = len(tail) + len(payload)
+        out += b"\x00\x00\x01\xe0" + ln.to_bytes(2, "big") + tail + payload
+    if audio == "ac3":
+        # AC-3 syncframe: 0B 77 crc1(2) [fscod=1|frmsizcod=20 -> 44.1kHz
+        # 192kbps] ... (A/52 5.3)
+        frame = b"\x0b\x77\x00\x00" + bytes([(1 << 6) | 20]) + bytes(27)
+        sid = b"\xbd"
+        sub = b"\x80\x01\x00\x01"    # DVD substream wrapper
+        payload = sub + frame * 3
+    elif audio == "dts":
+        frame = b"\x7f\xfe\x80\x01\x00\x00" + \
+            ((13 << 10) | (15 << 5)).to_bytes(4, "big") + bytes(24)
+        sid = b"\xbd"
+        payload = frame * 3
+    else:
+        # MPEG-1 Layer II, 48 kHz, 192 kbps, stereo: FF FD 94 04
+        frame = bytes([0xFF, 0xFD, 0x94, 0x04]) + bytes(60)
+        sid = b"\xc0"
+        payload = frame * 3
+    tail = bytes([0x80, 0x80, 5]) + _encode_pts(3600)
+    ln = len(tail) + len(payload)
+    out += b"\x00\x00\x01" + sid + ln.to_bytes(2, "big") + tail + payload
+    out += b"\x00\x00\x01\xb9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # MP3 (layer III CBR, silent frames)
 

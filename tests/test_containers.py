@@ -91,6 +91,51 @@ def test_wave_demux(tmp_path):
     mv_close(m)
 
 
+def test_ps_es_sniffers_mpeg2_video(tmp_path):
+    """PS video tracks carry dimensions/DAR/framerate from the MPEG-2
+    sequence header (reference parse_pes_v, pes.c:985-1120) and audio
+    tracks carry sampling rate/bitrate (parse_pes_a, pes.c:645-980)."""
+    ps = C.write_ps_mpeg2(width=720, height=576, ari=2, fri=3)
+    m = _open(tmp_path, "seq.mpg", ps)
+    assert mv_parse(m)
+    v = m.tracks_video[0]
+    assert v.stream_codec == Codec.MPEG2
+    assert (v.width, v.height) == (720, 576)
+    assert abs(v.dar - 4.0 / 3.0) < 1e-6
+    assert v.framerate == 25.0
+    assert (v.framerate_num, v.framerate_base) == (25, 1)
+    a = m.tracks_audio[0]
+    assert a.stream_codec == Codec.MPEG_L2
+    assert a.sampling_rate == 48000
+    assert a.channel_count == 2
+    mv_close(m)
+
+
+def test_ps_es_sniffers_ac3_dts(tmp_path):
+    ps = C.write_ps_mpeg2(width=1920, height=1080, ari=3, fri=4,
+                          audio="ac3")
+    m = _open(tmp_path, "ac3.mpg", ps)
+    assert mv_parse(m)
+    v = m.tracks_video[0]
+    assert (v.width, v.height) == (1920, 1080)
+    assert abs(v.dar - 16.0 / 9.0) < 1e-6
+    assert abs(v.framerate - 29.970) < 1e-3
+    a = m.tracks_audio[0]
+    assert a.stream_codec == Codec.AC3
+    assert a.sampling_rate == 44100
+    assert a.bitrate == 192000
+    mv_close(m)
+
+    ps = C.write_ps_mpeg2(audio="dts")
+    m = _open(tmp_path, "dts.mpg", ps)
+    assert mv_parse(m)
+    a = m.tracks_audio[0]
+    assert a.stream_codec == Codec.DTS
+    assert a.sampling_rate == 48000
+    assert a.bitrate == 768000
+    mv_close(m)
+
+
 def test_ps_demux_and_decode(annexb, tmp_path):
     ps = C.write_ps(annexb)
     m = _open(tmp_path, "clip.mpg", ps)

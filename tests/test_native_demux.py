@@ -20,7 +20,8 @@ pytestmark = pytest.mark.skipif(not available(),
 
 _FIELDS = ("stream_type", "stream_fcc", "stream_codec", "width", "height",
            "channel_count", "sampling_rate", "bit_per_sample",
-           "framerate", "frame_count", "frame_count_idr", "stream_size",
+           "framerate", "framerate_num", "framerate_base", "dar",
+           "frame_count", "frame_count_idr", "stream_size",
            "bitrate", "bitrate_mode", "nal_length_size",
            "sample_per_frames")
 
@@ -98,6 +99,17 @@ def test_ps_parity(annexb, tmp_path):
     p = tmp_path / "a.mpg"
     p.write_bytes(C.write_ps(annexb))
     _assert_tracks_equal(str(p))
+
+
+@pytest.mark.parametrize("audio", ["mp2", "ac3", "dts"])
+def test_ps_parity_es_sniffers(audio, tmp_path):
+    """Python and native PS paths report identical ES-sniffed metadata
+    (dimensions, DAR, framerate, audio rates)."""
+    p = tmp_path / f"seq_{audio}.mpg"
+    p.write_bytes(C.write_ps_mpeg2(audio=audio))
+    m = _assert_tracks_equal(str(p))
+    assert m.tracks_video[0].width == 720
+    assert m.tracks_video[0].framerate == 25.0
 
 
 def test_es_parity(annexb, tmp_path):
