@@ -3,9 +3,12 @@
 Reference: minivideo/src/demuxer/avi/avi.c — RIFF/LIST walk over
 'RIFF AVI ' + 'AVIX' (OpenDML) (:1373-1533), hdrl/avih/strl/strh/strf
 (:136-286,745-857), movi offset, legacy idx1 index (:478) and OpenDML
-indx/ix super-index (:621), keyframe flag from AVIIF_KEYFRAME
-(:1330-1333; note the reference has an indexing bug there — `[i]` instead
-of `[k]` — which we do not replicate).
+indx/ix super+standard indexes (parse_indx :621-743, consumed by
+avi_indexer :1272-1298).  Divergences from reference bugs (not
+replicated): keyframe flag indexing `[i]` vs `[k]` (avi.c:1330), and
+the OpenDML delta-frame bit — the reference tests 0x10000000
+(avi.c:713) where the OpenDML spec defines AVISTDINDEX_DELTAFRAME as
+bit 31 (0x80000000).
 """
 
 from __future__ import annotations
@@ -37,6 +40,61 @@ class _Stream:
     sample_rate: int = 0
     bits: int = 0
     samples: list = field(default_factory=list)   # (offset, size, keyframe)
+    indx_raw: bytes = b""       # OpenDML 'indx' chunk content (in strl)
+
+
+AVI_INDEX_OF_INDEXES = 0x00
+AVI_INDEX_OF_CHUNKS = 0x01
+
+
+def _parse_odml_index(fh, raw: bytes, s: _Stream, file_size: int,
+                      depth: int = 0) -> None:
+    """OpenDML 'indx'/'ix..' chunk content (reference parse_indx,
+    avi.c:621-743).
+
+    Header: wLongsPerEntry u16, bIndexSubType u8, bIndexType u8,
+    nEntriesInUse u32, dwChunkId u32.  Super-index entries (type 0x00):
+    qwOffset u64 (absolute, points at an 'ix..' chunk), dwSize u32,
+    dwDuration u32.  Standard-index entries (type 0x01): base qwOffset
+    u64 + per-entry dwOffset u32 (to the sample DATA) and dwSize u32
+    with bit 31 = AVISTDINDEX_DELTAFRAME (not a keyframe)."""
+    if len(raw) < 12 or depth > 2:
+        return
+    _wlpe, _sub, btype, n_use = struct.unpack("<HBBI", raw[:8])
+    if btype == AVI_INDEX_OF_INDEXES:
+        p = 24                                 # dwChunkId + 3x dwReserved
+        for _ in range(n_use):
+            if p + 16 > len(raw):
+                break
+            qw_off, dsize, _dur = struct.unpack("<QII", raw[p:p + 16])
+            p += 16
+            if not (0 < qw_off < file_size):
+                trace.warning("AVI", "super-index entry offset %d out of "
+                              "file bounds", qw_off)
+                continue
+            fh.seek(qw_off)
+            hdr = fh.read(8)
+            if len(hdr) < 8 or hdr[:2] != b"ix":
+                trace.warning("AVI", "super-index entry at %d is not an "
+                              "ix chunk", qw_off)
+                continue
+            csize = struct.unpack("<I", hdr[4:8])[0]
+            csize = min(csize, file_size - qw_off - 8)
+            _parse_odml_index(fh, fh.read(csize), s, file_size, depth + 1)
+    elif btype == AVI_INDEX_OF_CHUNKS:
+        if len(raw) < 24:
+            return
+        base, = struct.unpack("<Q", raw[12:20])
+        p = 24
+        for _ in range(n_use):
+            if p + 8 > len(raw):
+                break
+            doff, dsize = struct.unpack("<II", raw[p:p + 8])
+            p += 8
+            s.samples.append((base + doff, dsize & 0x7FFFFFFF,
+                              not (dsize & 0x80000000)))
+    else:
+        trace.warning("AVI", "unsupported indx bIndexType 0x%02X", btype)
 
 
 def avi_parse(media: MediaFile) -> bool:
@@ -97,6 +155,9 @@ def avi_parse(media: MediaFile) -> bool:
                         s.channels = ch
                         s.sample_rate = rate_
                         s.bits = bits
+            elif fcc == b"indx" and streams:
+                fh.seek(off)
+                streams[-1].indx_raw = fh.read(size)
             elif fcc == b"idx1":
                 fh.seek(off)
                 raw = fh.read(size)
@@ -126,6 +187,13 @@ def avi_parse(media: MediaFile) -> bool:
                                    int(arr[k, 3]))
             streams[snum].samples.append(
                 (offset + base, size, bool(flags & AVIIF_KEYFRAME)))
+
+    # OpenDML index: used for streams idx1 did not cover (reference
+    # avi_indexer only walks the super-index of tracks not already
+    # indexed, avi.c:1280-1298); this is what indexes >1 GiB AVIX files
+    for s in streams:
+        if s.indx_raw and not s.samples:
+            _parse_odml_index(fh, s.indx_raw, s, media.file_size)
 
     ok = False
     for s in streams:

@@ -469,6 +469,7 @@ struct AviStream {
   int64_t comp_fcc = 0;          // biCompression fourcc (codec key)
   int64_t wave_tag = -1;         // auds wFormatTag
   int64_t channels = 0, sample_rate = 0, bits = 0;
+  size_t indx_off = 0, indx_size = 0;   // OpenDML 'indx' chunk in strl
   std::vector<int64_t> s_off, s_size;
   std::vector<uint8_t> s_key;
 };
@@ -518,10 +519,46 @@ void avi_walk(const Buf& b, size_t pos, size_t end, AviCtx& ctx) {
         s.sample_rate = b.le32(off + 4);
         s.bits = b.le16(off + 14);
       }
+    } else if (std::memcmp(fcc, "indx", 4) == 0 && !ctx.streams.empty()) {
+      ctx.streams.back().indx_off = off;
+      ctx.streams.back().indx_size = size;
     } else if (std::memcmp(fcc, "idx1", 4) == 0) {
       ctx.idx1.emplace_back(off, size);
     }
     pos = off + size + (size & 1);       // word alignment
+  }
+}
+
+// OpenDML 'indx'/'ix..' chunk content (reference parse_indx avi.c:621-743;
+// contract: containers/avi.py _parse_odml_index).  Keyframe = bit 31 of
+// dwSize clear (AVISTDINDEX_DELTAFRAME; the reference tests 0x10000000,
+// a bug we do not replicate).
+void avi_odml_index(const Buf& b, size_t off, size_t size, AviStream& s,
+                    int depth) {
+  if (size < 12 || depth > 2) return;
+  uint8_t btype = b.u8(off + 3);
+  uint32_t n_use = b.le32(off + 4);
+  if (btype == 0x00) {                       // AVI_INDEX_OF_INDEXES
+    size_t p = off + 24;
+    for (uint32_t i = 0; i < n_use && p + 16 <= off + size; ++i, p += 16) {
+      uint64_t qw = b.le32(p) | ((uint64_t)b.le32(p + 4) << 32);
+      if (qw == 0 || qw + 8 > b.n) continue;
+      if (b.u8(qw) != 'i' || b.u8(qw + 1) != 'x') continue;
+      uint32_t csize = b.le32(qw + 4);
+      if (qw + 8 + csize > b.n) csize = (uint32_t)(b.n - qw - 8);
+      avi_odml_index(b, qw + 8, csize, s, depth + 1);
+    }
+  } else if (btype == 0x01) {                // AVI_INDEX_OF_CHUNKS
+    if (size < 24) return;
+    uint64_t base = b.le32(off + 12) | ((uint64_t)b.le32(off + 16) << 32);
+    size_t p = off + 24;
+    for (uint32_t i = 0; i < n_use && p + 8 <= off + size; ++i, p += 8) {
+      uint32_t doff = b.le32(p);
+      uint32_t dsize = b.le32(p + 4);
+      s.s_off.push_back((int64_t)(base + doff));
+      s.s_size.push_back((int64_t)(dsize & 0x7FFFFFFF));
+      s.s_key.push_back((dsize & 0x80000000u) ? 0 : 1);
+    }
   }
 }
 
@@ -554,6 +591,12 @@ bool parse_avi(const Buf& b, Demux& dm) {
       ctx.streams[snum].s_key.push_back((flags & 0x10) ? 1 : 0);
     }
   }
+
+  // OpenDML super/standard index for streams idx1 did not cover
+  // (reference avi_indexer avi.c:1280-1298)
+  for (auto& s : ctx.streams)
+    if (s.indx_size && s.s_off.empty())
+      avi_odml_index(b, s.indx_off, s.indx_size, s, 0);
 
   bool ok = false;
   for (auto& s : ctx.streams) {

@@ -136,9 +136,15 @@ def write_mp4(annexb: bytes, width: int, height: int,
 # AVI
 
 
-def write_avi(annexb: bytes, width: int, height: int, fps: int = 25
-              ) -> bytes:
-    """Wrap H.264 access units in a minimal AVI (idx1-indexed)."""
+def write_avi(annexb: bytes, width: int, height: int, fps: int = 25,
+              opendml: bool = False) -> bytes:
+    """Wrap H.264 access units in a minimal AVI.
+
+    idx1-indexed by default; with opendml=True the file instead carries
+    an OpenDML super-index ('indx' in strl, type 0x00) whose single
+    entry points at a standard 'ix00' index chunk inside movi (type
+    0x01, absolute base + per-entry data offsets) and has NO idx1 —
+    the layout of >1 GiB AVIX files."""
     sps, pps, samples = annexb_to_avcc_samples(annexb)
     # AVI carries Annex-B payloads; keep start codes per sample
     frames = []
@@ -161,11 +167,20 @@ def write_avi(annexb: bytes, width: int, height: int, fps: int = 25
     bmih = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
                        b"H264", width * height * 3, 0, 0, 0, 0)
     strf = chunk(b"strf", bmih)
-    strl = chunk(b"LIST", b"strl" + strh + strf)
-    avih = chunk(b"avih", struct.pack(
-        "<IIIIIIIIIIIIII", 1000000 // fps, 0, 0, 0x10, len(frames), 0, 1,
-        0, width, height, 0, 0, 0, 0))
-    hdrl = chunk(b"LIST", b"hdrl" + avih + strl)
+
+    def build(ix_abs_offset):
+        parts = [strh, strf]
+        if opendml:
+            # super index: 1 entry -> absolute offset of the ix00 chunk
+            indx = struct.pack("<HBBI4s", 4, 0, 0x00, 1, b"00dc") \
+                + b"\x00" * 12 \
+                + struct.pack("<QII", ix_abs_offset, 0, len(frames))
+            parts.append(chunk(b"indx", indx))
+        strl = chunk(b"LIST", b"strl" + b"".join(parts))
+        avih = chunk(b"avih", struct.pack(
+            "<IIIIIIIIIIIIII", 1000000 // fps, 0, 0, 0x10, len(frames),
+            0, 1, 0, width, height, 0, 0, 0, 0))
+        return chunk(b"LIST", b"hdrl" + avih + strl)
 
     movi_items = []
     rel_offsets = []
@@ -175,12 +190,28 @@ def write_avi(annexb: bytes, width: int, height: int, fps: int = 25
         item = chunk(b"00dc", f)
         movi_items.append(item)
         pos += len(item)
-    movi = chunk(b"LIST", b"movi" + b"".join(movi_items))
-    idx = b"".join(
-        b"00dc" + struct.pack("<III", 0x10, off, len(f))
-        for off, f in zip(rel_offsets, frames))
-    idx1 = chunk(b"idx1", idx)
-    riff_payload = b"AVI " + hdrl + movi + idx1
+
+    hdrl = build(0)
+    movi_pos = 12 + len(hdrl)              # RIFF hdr + hdrl
+    if opendml:
+        # standard index chunk placed inside movi, after the frames
+        base = movi_pos                    # qwBaseOffset
+        entries = b"".join(
+            struct.pack("<II", 8 + rel + 8, len(f))   # -> frame DATA
+            for rel, f in zip(rel_offsets, frames))
+        ixbody = struct.pack("<HBBI4s", 2, 0, 0x01, len(frames), b"00dc") \
+            + struct.pack("<QI", base, 0) + entries
+        ix_item = chunk(b"ix00", ixbody)
+        ix_abs = movi_pos + 8 + pos        # movi hdr + items so far
+        movi = chunk(b"LIST", b"movi" + b"".join(movi_items) + ix_item)
+        hdrl = build(ix_abs)
+        riff_payload = b"AVI " + hdrl + movi
+    else:
+        movi = chunk(b"LIST", b"movi" + b"".join(movi_items))
+        idx = b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, len(f))
+            for off, f in zip(rel_offsets, frames))
+        riff_payload = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
 
 

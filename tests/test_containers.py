@@ -76,6 +76,24 @@ def test_avi_demux_and_decode(annexb, tmp_path):
     mv_close(m)
 
 
+def test_avi_opendml_indx(annexb, tmp_path):
+    """OpenDML super-index + ix00 standard index, no idx1 (the layout of
+    >1 GiB AVIX files; reference parse_indx avi.c:621-743)."""
+    avi = C.write_avi(annexb, 64, 48, opendml=True)
+    assert b"idx1" not in avi and b"indx" in avi and b"ix00" in avi
+    m = _open(tmp_path, "odml.avi", avi)
+    assert mv_parse(m)
+    t = m.tracks_video[0]
+    assert t.sample_count == 3
+    assert t.frame_count_idr == 3          # keyframe bit 31 clear
+    pics = mv_decode(m, picture_number=3)
+    ref = decode_annexb(annexb)
+    assert len(pics) == 3
+    for a, b in zip(pics, ref):
+        np.testing.assert_array_equal(a.y, b.y)
+    mv_close(m)
+
+
 def test_wave_demux(tmp_path):
     rng = np.random.default_rng(0)
     pcm = (rng.standard_normal(16000) * 3000).astype(np.int16)

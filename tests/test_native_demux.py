@@ -158,3 +158,14 @@ def test_native_corrupt_box_clamping(annexb, tmp_path):
     ok, m = _parse(str(p), force_python=False)
     # parse may fail or succeed, but must not crash
     assert isinstance(ok, bool)
+
+
+def test_avi_opendml_parity(annexb, tmp_path):
+    """OpenDML indx/ix super-index: Python and native demuxers agree
+    (reference parse_indx avi.c:621-743)."""
+    p = tmp_path / "odml.avi"
+    p.write_bytes(C.write_avi(annexb, 64, 48, opendml=True))
+    m = _assert_tracks_equal(str(p))
+    t = m.tracks_video[0]
+    assert t.sample_count == 3
+    assert t.frame_count_idr == 3
