@@ -182,6 +182,23 @@ class SubSampling(IntEnum):
     SS_4444 = 6
 
 
+class ColorMatrix(IntEnum):
+    """Video color matrix (reference ColorMatrix_e, avutils.h:163-180)."""
+    UNKNOWN = 0
+    SRGB = 1
+    SYCC = 2
+    XVYCC = 3
+    XYZ = 4
+    PAL = 5
+    NTSC = 6
+    SMPTE170M = 7
+    SMPTE240M = 8
+    BT470 = 9
+    BT601 = 10
+    BT709 = 11
+    BT2020 = 12
+
+
 def fourcc_be(code: str) -> int:
     """'avc1' -> big-endian fourcc integer."""
     b = code.encode("latin-1")

@@ -18,7 +18,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..codecs import Codec, SampleType, StreamType, codec_from_fourcc
+from ..codecs import (Codec, ColorMatrix, SampleType, StreamType,
+                      codec_from_fourcc)
 from ..media import MediaFile, Track
 from .. import trace
 
@@ -42,6 +43,17 @@ class RawTrack:
     sample_rate: int = 0
     sample_size_bits: int = 0
     parameter_sets: list = field(default_factory=list)     # SPS+PPS bytes
+    # visual sample-entry extension boxes (reference mp4.c:1941-2170)
+    par_h: int = 1              # pasp
+    par_v: int = 1
+    color_matrix: int = 0       # colr (nclc/nclx)
+    color_full_range: int = -1
+    crop_width: int = 0         # clap (clean aperture)
+    crop_height: int = 0
+    interlaced: int = -1        # fiel
+    gamma: float = 0.0          # gama
+    bitrate_max: int = 0        # btrt
+    bitrate_avg: int = 0
     # sample tables (raw box contents)
     stts: list = field(default_factory=list)               # (count, delta)
     ctts: list = field(default_factory=list)               # (count, offset)
@@ -262,7 +274,9 @@ def _parse_stsd(r, track, box_end):
 
 
 def _parse_visual_extensions(r, track, end):
-    """Walk child boxes of a visual sample entry: avcC, btrt, pasp, ..."""
+    """Walk child boxes of a visual sample entry: avcC plus the
+    metadata boxes btrt/clap/colr/fiel/gama/pasp (reference
+    mp4.c:1941-2170)."""
     while r.tell() + 8 <= end:
         pos = r.tell()
         size = r.u32()
@@ -271,7 +285,41 @@ def _parse_visual_extensions(r, track, end):
             break
         if btype == b"avcC":
             _parse_avcc(r, track)
+        elif btype == b"btrt":
+            r.skip(4)                            # bufferSizeDB
+            track.bitrate_max = r.u32()
+            track.bitrate_avg = r.u32()
+        elif btype == b"pasp":
+            track.par_h = r.u32() or 1
+            track.par_v = r.u32() or 1
+        elif btype == b"clap":
+            wn, wd, hn, hd = r.u32(), r.u32(), r.u32(), r.u32()
+            if wd and hd:
+                track.crop_width = wn // wd
+                track.crop_height = hn // hd
+        elif btype == b"colr":
+            ctype = r.read(4)
+            if ctype in (b"nclc", b"nclx"):
+                r.skip(2 + 2)                    # primaries + transfer
+                track.color_matrix = _COLR_MATRIX.get(
+                    r.u16(), int(ColorMatrix.UNKNOWN))
+                if ctype == b"nclx" and pos + size - r.tell() >= 1:
+                    track.color_full_range = r.u8() >> 7
+        elif btype == b"fiel":
+            track.interlaced = 0 if r.u8() == 1 else 1
+        elif btype == b"gama":
+            track.gamma = r.u32() / 65536.0      # 16.16 fixed point
         r.fh.seek(pos + size)
+
+
+# colr matrix_coefficients -> ColorMatrix (reference parse_colr,
+# mp4.c:2052-2064: 1 -> bt709, 6 -> bt601, 7 -> SMPTE240M)
+_COLR_MATRIX = {
+    1: int(ColorMatrix.BT709),
+    6: int(ColorMatrix.BT601),
+    7: int(ColorMatrix.SMPTE240M),
+    9: int(ColorMatrix.BT2020),
+}
 
 
 def _parse_avcc(r, track):
@@ -422,6 +470,12 @@ def _convert_track(raw: RawTrack, fh, ctx) -> Track:
         bit_per_sample=raw.sample_size_bits,
         parameter_sets=list(raw.parameter_sets),
         nal_length_size=raw.nal_length_size,
+        par_h=raw.par_h, par_v=raw.par_v,
+        color_matrix=raw.color_matrix,
+        color_full_range=raw.color_full_range,
+        crop_width=raw.crop_width, crop_height=raw.crop_height,
+        interlaced=raw.interlaced,
+        bitrate_max=raw.bitrate_max, bitrate_avg=raw.bitrate_avg,
     )
     t.set_samples(types, raw.stsz, offsets, pts_ns, dts_ns)
     # framerate from timescale/duration (reference mp4.c:285-300)

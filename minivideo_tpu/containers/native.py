@@ -180,6 +180,16 @@ def _build_track(container, info, types, sizes, offs, pts, dts,
     )
 
     if container == Container.MP4:
+        # visual-extension metadata packed by demux.cc mp4_convert
+        t.par_h = int(info[19]) >> 32 or 1
+        t.par_v = int(info[19]) & 0xFFFFFFFF or 1
+        t.crop_width = int(info[20]) >> 32
+        t.crop_height = int(info[20]) & 0xFFFFFFFF
+        t.color_matrix = int(info[21]) & 0xFF
+        t.color_full_range = ((int(info[21]) >> 8) & 0xFF) - 1
+        t.interlaced = ((int(info[21]) >> 16) & 0xFF) - 1
+        t.bitrate_max = int(info[22])
+        t.bitrate_avg = int(info[23])
         # ns rescale + framerate exactly as containers/mp4.py:393-429
         scale = 1e9 / (t.timescale or 1)
         pts_ns = (pts * scale).astype(np.int64)

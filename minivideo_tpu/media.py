@@ -43,6 +43,13 @@ class Track:
     par_h: int = 1             # pixel aspect ratio
     par_v: int = 1
     dar: float = 0.0           # display aspect ratio (0 = derive from size)
+    color_matrix: int = 0      # ColorMatrix enum (mp4 colr / PS defaults)
+    color_full_range: int = -1  # 1 full / 0 studio / -1 unknown
+    crop_width: int = 0        # clean-aperture display size (mp4 clap)
+    crop_height: int = 0
+    interlaced: int = -1       # 1 interlaced / 0 progressive / -1 unknown
+    bitrate_max: int = 0       # declared max/avg bitrate (mp4 btrt)
+    bitrate_avg: int = 0
     framerate: float = 0.0
     framerate_num: int = 0     # rational framerate (0 = unknown)
     framerate_base: int = 0

@@ -129,6 +129,11 @@ struct Mp4Raw {
   int64_t fcc = 0;
   int64_t width = 0, height = 0, channels = 0, sample_rate = 0, bits = 0;
   int64_t nal_len = 4;
+  // visual sample-entry extension boxes (reference mp4.c:1941-2170)
+  int64_t par_h = 1, par_v = 1;
+  int64_t cmatrix = 0, crange = -1, interlaced = -1;
+  int64_t crop_w = 0, crop_h = 0;
+  int64_t br_max = 0, br_avg = 0;
   std::string psets;
   std::vector<std::pair<int64_t, int64_t>> stts;   // (count, delta)
   std::vector<std::pair<int64_t, int64_t>> ctts;   // (count, offset signed)
@@ -193,13 +198,42 @@ void mp4_parse_stsd(const Buf& b, size_t p, size_t end, Mp4Raw& tr) {
       v += 4;
       v += 4 + 4 + 4;             // resolutions + reserved
       v += 2 + 32 + 2 + 2;        // frame_count, compressorname, depth, -1
-      // child boxes of the visual sample entry: avcC, btrt, pasp, ...
+      // child boxes of the visual sample entry: avcC plus the metadata
+      // boxes btrt/clap/colr/fiel/gama/pasp (contract: mp4.py
+      // _parse_visual_extensions; reference mp4.c:1941-2170)
       size_t vend = es + size;
       while (v + 8 <= vend) {
         uint32_t csz = b.be32(v);
         if (csz < 8 || v + csz > vend) break;
-        if (b.tag(v + 4, "avcC"))
-          mp4_parse_avcc(b, v + 8, v + csz, tr);
+        size_t c = v + 8;
+        if (b.tag(v + 4, "avcC")) {
+          mp4_parse_avcc(b, c, v + csz, tr);
+        } else if (b.tag(v + 4, "btrt") && csz >= 20) {
+          tr.br_max = b.be32(c + 4);
+          tr.br_avg = b.be32(c + 8);
+        } else if (b.tag(v + 4, "pasp") && csz >= 16) {
+          tr.par_h = b.be32(c);
+          if (!tr.par_h) tr.par_h = 1;
+          tr.par_v = b.be32(c + 4);
+          if (!tr.par_v) tr.par_v = 1;
+        } else if (b.tag(v + 4, "clap") && csz >= 40) {
+          uint32_t wn = b.be32(c), wd = b.be32(c + 4);
+          uint32_t hn = b.be32(c + 8), hd = b.be32(c + 12);
+          if (wd && hd) {
+            tr.crop_w = wn / wd;
+            tr.crop_h = hn / hd;
+          }
+        } else if (b.tag(v + 4, "colr") && csz >= 18) {
+          bool nclx = b.tag(c, "nclx");
+          if (nclx || b.tag(c, "nclc")) {
+            uint16_t mc = b.be16(c + 8);
+            tr.cmatrix = mc == 1 ? 11 : mc == 6 ? 10
+                       : mc == 7 ? 8 : mc == 9 ? 12 : 0;   // ColorMatrix
+            if (nclx && csz >= 19) tr.crange = b.u8(c + 10) >> 7;
+          }
+        } else if (b.tag(v + 4, "fiel") && csz >= 9) {
+          tr.interlaced = (b.u8(c) == 1) ? 0 : 1;
+        }
         v += csz;
       }
     } else if (std::memcmp(tr.handler, "soun", 4) == 0) {
@@ -437,6 +471,13 @@ bool mp4_convert(const Mp4Raw& raw, NTrack& out) {
   out.info[10] = raw.timescale;
   out.info[11] = raw.duration;
   out.info[12] = raw.nal_len;
+  // packed visual-extension metadata (unpacked by native.py)
+  out.info[19] = (raw.par_h << 32) | (raw.par_v & 0xFFFFFFFF);
+  out.info[20] = (raw.crop_w << 32) | (raw.crop_h & 0xFFFFFFFF);
+  out.info[21] = raw.cmatrix | ((raw.crange + 1) << 8)
+               | ((raw.interlaced + 1) << 16);
+  out.info[22] = raw.br_max;
+  out.info[23] = raw.br_avg;
   out.psets = raw.psets;
   out.finalize();
   return true;

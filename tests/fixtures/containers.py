@@ -54,8 +54,12 @@ def annexb_to_avcc_samples(annexb: bytes):
 
 
 def write_mp4(annexb: bytes, width: int, height: int,
-              timescale: int = 30000, sample_delta: int = 1001) -> bytes:
-    """Wrap an intra-only Annex-B stream in a minimal ISO BMFF file."""
+              timescale: int = 30000, sample_delta: int = 1001,
+              visual_ext: bool = False) -> bytes:
+    """Wrap an intra-only Annex-B stream in a minimal ISO BMFF file.
+
+    With visual_ext=True the avc1 entry also carries btrt/pasp/clap/
+    colr(nclx)/fiel boxes (reference mp4.c:1941-2170)."""
     sps, pps, samples = annexb_to_avcc_samples(annexb)
     assert sps and pps and samples
 
@@ -73,6 +77,16 @@ def write_mp4(annexb: bytes, width: int, height: int,
         avcc += bytes([len(pps)])
         for p in pps:
             avcc += len(p).to_bytes(2, "big") + p
+        ext = _box(b"avcC", avcc)
+        if visual_ext:
+            ext += _box(b"btrt", struct.pack(">III", 8192, 900000, 750000))
+            ext += _box(b"pasp", struct.pack(">II", 4, 3))
+            ext += _box(b"clap", struct.pack(
+                ">8I", width - 2, 1, height - 2, 1, 0, 1, 0, 1))
+            # nclx: bt709 primaries/transfer/matrix, full_range set
+            ext += _box(b"colr", b"nclx"
+                        + struct.pack(">HHHB", 1, 1, 1, 0x80))
+            ext += _box(b"fiel", bytes([1, 0]))
         avc1 = _box(b"avc1", b"\x00" * 6 + struct.pack(">H", 1)
                     + b"\x00" * 16
                     + struct.pack(">HH", width, height)
@@ -80,7 +94,7 @@ def write_mp4(annexb: bytes, width: int, height: int,
                     + b"\x00" * 4 + struct.pack(">H", 1)
                     + b"\x00" * 32
                     + struct.pack(">Hh", 24, -1)
-                    + _box(b"avcC", avcc))
+                    + ext)
         stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
         n = len(samples)
         stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n,

@@ -21,6 +21,9 @@ pytestmark = pytest.mark.skipif(not available(),
 _FIELDS = ("stream_type", "stream_fcc", "stream_codec", "width", "height",
            "channel_count", "sampling_rate", "bit_per_sample",
            "framerate", "framerate_num", "framerate_base", "dar",
+           "par_h", "par_v", "color_matrix", "color_full_range",
+           "crop_width", "crop_height", "interlaced",
+           "bitrate_max", "bitrate_avg",
            "frame_count", "frame_count_idr", "stream_size",
            "bitrate", "bitrate_mode", "nal_length_size",
            "sample_per_frames")
@@ -169,3 +172,19 @@ def test_avi_opendml_parity(annexb, tmp_path):
     t = m.tracks_video[0]
     assert t.sample_count == 3
     assert t.frame_count_idr == 3
+
+
+def test_mp4_visual_extensions_parity(annexb, tmp_path):
+    """btrt/pasp/clap/colr/fiel boxes populate track metadata
+    identically in both demuxers (reference mp4.c:1941-2170)."""
+    from minivideo_tpu.codecs import ColorMatrix
+    p = tmp_path / "ext.mp4"
+    p.write_bytes(C.write_mp4(annexb, 64, 48, visual_ext=True))
+    m = _assert_tracks_equal(str(p))
+    t = m.tracks_video[0]
+    assert (t.par_h, t.par_v) == (4, 3)
+    assert (t.crop_width, t.crop_height) == (62, 46)
+    assert t.color_matrix == int(ColorMatrix.BT709)
+    assert t.color_full_range == 1
+    assert t.interlaced == 0
+    assert (t.bitrate_max, t.bitrate_avg) == (900000, 750000)
