@@ -146,6 +146,74 @@ def pack_frames(frames, sps, pps) -> PackedFrames:
                          pps.second_chroma_qp_index_offset))
 
 
+def make_frame_staging(wmb: int, hmb: int, batch: int) -> dict:
+    """Preallocated batched coefficient buffers the native entropy parser
+    writes into DIRECTLY (via syntax_into), so packing a batch never
+    copies the large arrays.  np.zeros maps lazy zero pages, so the
+    parser's sparse coefficient writes are the only memory traffic."""
+    n = wmb * hmb
+    B = batch
+    return {
+        "luma_dc": np.zeros((B, n, 4, 4), np.int32),
+        "luma_ac": np.zeros((B, n, 16, 4, 4), np.int32),
+        "luma8x8_coeff": np.zeros((B, n, 4, 8, 8), np.int32),
+        "chroma_dc": np.zeros((B, n, 2, 2, 2), np.int32),
+        "chroma_ac": np.zeros((B, n, 2, 4, 4, 4), np.int32),
+    }
+
+
+_STAGED = ("luma_dc", "luma_ac", "luma8x8_coeff", "chroma_dc", "chroma_ac")
+
+
+def syntax_into(staging: dict, i: int, wmb: int, hmb: int) -> FrameSyntax:
+    """A FrameSyntax whose large coefficient buffers alias staging[i]."""
+    fs = FrameSyntax(wmb, hmb)
+    for name in _STAGED:
+        view = staging[name][i]
+        assert view.flags["C_CONTIGUOUS"]
+        setattr(fs, name, view)
+    return fs
+
+
+def pack_frames_staged(staging: dict, frames, sps, pps) -> PackedFrames:
+    """pack_frames for frames parsed via syntax_into: the coefficient
+    arrays are the staging buffers themselves (zero copies); only the
+    small per-MB metadata arrays are stacked."""
+    wmb = frames[0][0].width_mbs
+    hmb = frames[0][0].height_mbs
+    n = wmb * hmb
+
+    def stack(get):
+        return np.stack([get(fs, som) for fs, som in frames])
+
+    for fs, _ in frames:
+        assert not fs.pcm_y, "PCM frames need the copying pack_frames path"
+    arrays = {
+        "mb_kind": stack(lambda fs, s: np.asarray(fs.mb_kind, np.int32)),
+        "qpy": stack(lambda fs, s: np.asarray(fs.qpy, np.int32)),
+        "i16_mode": stack(lambda fs, s: np.asarray(fs.i16_mode, np.int32)),
+        "chroma_mode": stack(
+            lambda fs, s: np.asarray(fs.chroma_mode, np.int32)),
+        "luma4x4_modes": stack(
+            lambda fs, s: np.asarray(fs.luma4x4_modes, np.int32)),
+        "luma8x8_modes": stack(
+            lambda fs, s: np.asarray(fs.luma8x8_modes, np.int32)),
+        "parsed": stack(lambda fs, s: np.asarray(fs.parsed, np.int32)),
+        "slice_id": stack(
+            lambda fs, s: np.asarray(
+                s if s is not None else np.zeros(n, np.int32), np.int32)),
+    }
+    B = len(frames)
+    for name in _STAGED:
+        arrays[name] = staging[name][:B]
+    ls4 = np.stack([level_scale_4x4_np(pps.scaling_list_4x4[i])
+                    for i in range(3)])
+    ls8 = level_scale_8x8_np(pps.scaling_list_8x8[0])
+    return PackedFrames(wmb, hmb, arrays, ls4, ls8,
+                        (pps.chroma_qp_index_offset,
+                         pps.second_chroma_qp_index_offset))
+
+
 def _luma_ac_with_pcm(fs: FrameSyntax) -> np.ndarray:
     """PCM raw luma rides in the (otherwise unused) coefficient buffer."""
     a = fs.luma_ac.astype(np.int32).copy()
