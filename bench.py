@@ -168,9 +168,11 @@ def main():
     run_device()
     log(f"bench: first call (compile) {time.time()-t0:.1f}s")
 
+    from minivideo_tpu.profiling import device_trace
     t0 = time.time()
-    for _ in range(ITERS):
-        run_device()
+    with device_trace():          # set MINIVIDEO_TPU_PROFILE=<dir> to trace
+        for _ in range(ITERS):
+            run_device()
     dt = time.time() - t0
     device_fps = BATCH * ITERS / dt
     log(f"bench: device stage: {dt/ITERS*1000:.0f} ms/batch "

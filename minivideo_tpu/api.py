@@ -41,7 +41,8 @@ def extract_video_stream(media: MediaFile, track: Track) -> bytes:
     out = bytearray()
     for ps in track.parameter_sets:
         out += b"\x00\x00\x00\x01" + ps
-    length_prefixed = media.container == Container.MP4
+    length_prefixed = (track.length_prefixed
+                       or media.container == Container.MP4)
     for i in range(track.sample_count):
         if track.sample_type[i] not in (int(SampleType.VIDEO),
                                         int(SampleType.VIDEO_SYNC),
@@ -78,7 +79,8 @@ def mv_decode(media: MediaFile, picture_number: int = 1,
     fh = media.file_handle
     out = bytearray()
     from .containers.mp4 import avcc_to_annexb
-    length_prefixed = media.container == Container.MP4
+    length_prefixed = (track.length_prefixed
+                       or media.container == Container.MP4)
     for ps in track.parameter_sets:
         out += b"\x00\x00\x00\x01" + ps
     for i in track.param_indices():

@@ -47,10 +47,35 @@ def analyse(path: str) -> dict:
                 entry.update(width=int(t.width), height=int(t.height),
                              framerate=round(float(t.framerate), 3),
                              idr_count=int(t.frame_count_idr))
+                dar = float(t.dar) if t.dar else (
+                    t.width * t.par_h / (t.height * t.par_v)
+                    if t.height else 0.0)
+                entry["dar"] = round(dar, 4)
+                if (t.par_h, t.par_v) != (1, 1):
+                    entry["par"] = f"{t.par_h}:{t.par_v}"
+                if t.framerate_num:
+                    entry["framerate_num"] = int(t.framerate_num)
+                    entry["framerate_base"] = int(t.framerate_base)
+                if t.color_matrix:
+                    from ..codecs import ColorMatrix
+                    entry["color_matrix"] = ColorMatrix(
+                        t.color_matrix).name
+                if t.color_full_range >= 0:
+                    entry["color_full_range"] = bool(t.color_full_range)
+                if t.crop_width:
+                    entry["clean_aperture"] = (f"{t.crop_width}x"
+                                               f"{t.crop_height}")
+                if t.interlaced >= 0:
+                    entry["interlaced"] = bool(t.interlaced)
+                if t.bitrate_max:
+                    entry["bitrate_max"] = int(t.bitrate_max)
+                    entry["bitrate_avg"] = int(t.bitrate_avg)
             elif t.stream_type.name == "AUDIO":
                 entry.update(channels=int(t.channel_count),
                              sample_rate=int(t.sampling_rate),
                              bits_per_sample=int(t.bit_per_sample))
+                if t.sample_per_frames:
+                    entry["samples_per_frame"] = int(t.sample_per_frames)
             info["tracks"].append(entry)
         return info
     finally:

@@ -66,6 +66,7 @@ class Track:
     # codec private data (e.g. SPS/PPS from avcC), list of bytes objects
     parameter_sets: list = field(default_factory=list)
     nal_length_size: int = 4   # AVCC NALU length prefix size (from avcC)
+    length_prefixed: bool = False  # samples carry AVCC length prefixes
 
     # columnar per-sample arrays (the "bitstream map")
     sample_type: np.ndarray = field(
@@ -140,7 +141,19 @@ class Track:
             else:
                 self.bitrate_mode = BitrateMode.VBR
 
+    # per-sample fragment lists [(offset, size), ...] for transport
+    # containers whose payloads are scattered (MPEG-TS); None = contiguous
+    fragments: list = None
+
     def read_sample(self, fh, index: int) -> bytes:
+        if self.fragments is not None:
+            frags = self.fragments[index]
+            if frags is not None:
+                parts = []
+                for off, sz in frags:
+                    fh.seek(int(off))
+                    parts.append(fh.read(int(sz)))
+                return b"".join(parts)
         fh.seek(int(self.sample_offset[index]))
         return fh.read(int(self.sample_size[index]))
 

@@ -200,6 +200,148 @@ def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False):
     )
 
 
+def build_slabs(arrays, ls4, ls8, cb_off, cr_off, g, batch):
+    """Residual build + skew pack in ONE lane-major pass.
+
+    Replaces build_residuals + pack_skewed + the wave-major transposes:
+    those materialized a dozen intermediates in [..., 4, 4] / [..., 16,
+    16] layouts whose tiny minor dims tile catastrophically on TPU
+    (measured ~5x bandwidth tax).  Here every tensor keeps a large
+    minor dimension: coefficients go comp-first ([4, 4, N] with N = all
+    blocks on lanes) for dequant+IDCT, are assembled into pixel rows
+    [256, B, n] by one multi-dim transpose, and skewed into the kernel's
+    wave-major slabs [W, S, B*maxw] by one gather.  Bit-identical to the
+    old path (tests/test_recon_fused.py::test_build_slabs_equals_old).
+    """
+    from .transform import (dequant_4x4_t, dequant_8x8_t, idct_4x4_t,
+                            idct_8x8_t, luma_dc_transform,
+                            chroma_dc_transform)
+    from .recon import _QPC_TAB
+    from ..models.h264.syntax import (KIND_I4x4, KIND_I8x8, KIND_I16x16,
+                                      KIND_IPCM)
+
+    wmb, hmb = g["wmb"], g["hmb"]
+    n = wmb * hmb
+    B = batch
+    n_waves, maxw = g["skew_idx"].shape
+    L = B * maxw
+    kind = arrays["mb_kind"]                       # [B, n]
+    qp = arrays["qpy"]
+    ls4 = jnp.asarray(ls4)
+    ls8 = jnp.asarray(ls8)
+
+    # ---- luma 4x4 blocks (i4 + i16), comp-first ---------------------------
+    lac = arrays["luma_ac"].astype(jnp.int32)
+    c4t = lac.reshape(B * n * 16, 16).T.reshape(4, 4, B * n * 16)
+    qp16 = jnp.broadcast_to(qp[..., None], (B, n, 16)).reshape(-1)
+    d4t = dequant_4x4_t(c4t, qp16, ls4[0])
+    # Intra16x16 DC: hadamard'd DC replaces each block's [0, 0]
+    dc = luma_dc_transform(arrays["luma_dc"], qp, ls4[0])      # [B, n, 4, 4]
+    # decode-order blocks: (y8, x8, y4, x4); dc grid is (2y8+y4, 2x8+x4)
+    dc_blk = dc.reshape(B, n, 2, 2, 2, 2).transpose(
+        0, 1, 2, 4, 3, 5).reshape(-1)                          # [B*n*16]
+    is16_blk = jnp.broadcast_to(
+        (kind == KIND_I16x16)[..., None], (B, n, 16)).reshape(-1)
+    d4t = d4t.at[0, 0].set(jnp.where(is16_blk, dc_blk, d4t[0, 0]))
+    r4t = idct_4x4_t(d4t)                                      # [4, 4, N]
+
+    # ---- luma 8x8 blocks ----------------------------------------------------
+    l8 = arrays["luma8x8_coeff"].astype(jnp.int32)
+    c8t = l8.reshape(B * n * 4, 64).T.reshape(8, 8, B * n * 4)
+    qp4 = jnp.broadcast_to(qp[..., None], (B, n, 4)).reshape(-1)
+    r8t = idct_8x8_t(dequant_8x8_t(c8t, qp4, ls8))             # [8, 8, N8]
+
+    # ---- assemble luma pixel rows T [256, B, n] ----------------------------
+    # rows = (y8, y4, py), cols = (x8, x4, px)  (recon.py _assemble_16x16)
+    t4 = r4t.reshape(4, 4, B, n, 2, 2, 2, 2).transpose(
+        4, 6, 0, 5, 7, 1, 2, 3).reshape(256, B, n)
+    # 8x8 blocks raster (r, c): rows (r, py), cols (c, px)
+    t8 = r8t.reshape(8, 8, B, n, 2, 2).transpose(
+        4, 0, 5, 1, 2, 3).reshape(256, B, n)
+    pcm_t = lac.reshape(B, n, 256).transpose(2, 0, 1)
+    is8 = (kind == KIND_I8x8)[None]
+    ispcm = (kind == KIND_IPCM)[None]
+    T = jnp.where(is8, t8, t4)
+    T = jnp.where(ispcm, pcm_t, T)
+
+    # ---- chroma -------------------------------------------------------------
+    cac = arrays["chroma_ac"].astype(jnp.int32)               # [B,n,2,4,4,4]
+    cct = cac.reshape(B * n * 8, 16).T.reshape(4, 4, B * n * 8)
+    qpc = jnp.stack(
+        [_QPC_TAB[jnp.clip(qp + cb_off, 0, 51)],
+         _QPC_TAB[jnp.clip(qp + cr_off, 0, 51)]], axis=-1)    # [B, n, 2]
+    qpc8 = jnp.broadcast_to(qpc[..., None], (B, n, 2, 4)).reshape(-1)
+    # per-component LevelScale: ls4[1] (Cb) / ls4[2] (Cr) selected lane-wise
+    m6 = qpc8 % 6
+    ic_of = jnp.broadcast_to(
+        jnp.arange(2)[None, None, :, None], (B, n, 2, 4)).reshape(-1)
+    scale_cb = jnp.moveaxis(ls4[1], 0, -1)[:, :, m6]           # [4, 4, N]
+    scale_cr = jnp.moveaxis(ls4[2], 0, -1)[:, :, m6]
+    scale = jnp.where(ic_of == 0, scale_cb, scale_cr)
+    div = qpc8 // 6
+    rnd = jnp.where(div < 4, 1 << jnp.maximum(3 - div, 0), 0)
+    hi = (cct * scale) << jnp.maximum(div - 4, 0)
+    lo = (cct * scale + rnd) >> jnp.maximum(4 - div, 0)
+    dcht = jnp.where(qpc8 >= 24, hi, lo)
+    # chroma DC per component (2x2 hadamard), block order = 2x2 raster
+    dcc = jnp.stack(
+        [chroma_dc_transform(arrays["chroma_dc"][:, :, ic],
+                             qpc[..., ic], ls4[1 + ic])
+         for ic in range(2)], axis=2)                          # [B,n,2,2,2]
+    dcc_blk = dcc.reshape(-1)                                  # (b,m,ic,blk)
+    dcht = dcht.at[0, 0].set(dcc_blk)
+    rc4 = idct_4x4_t(dcht)                                     # [4,4,B*n*8]
+    # chroma rows: sublane = ic*64 + 8*y + x; blocks raster (br, bc)
+    tc = rc4.reshape(4, 4, B, n, 2, 2, 2).transpose(
+        4, 5, 0, 6, 1, 2, 3).reshape(128, B, n)
+    pcm_ct = cac.reshape(B, n, 128).transpose(2, 0, 1)
+    Tc = jnp.where(ispcm, pcm_ct, tc)
+
+    # ---- availability flags + meta [32, B, n] ------------------------------
+    parsed = arrays["parsed"] > 0
+    sid = arrays["slice_id"]
+    mm = jnp.arange(n)
+    r = mm // wmb
+    c = mm % wmb
+
+    def ok(dm, cond):
+        mmc = jnp.clip(mm + dm, 0, n - 1)
+        return (cond[None] & parsed[:, mmc]
+                & (sid[:, mmc] == sid)).astype(jnp.int32)
+
+    al = ok(-1, c > 0)
+    at = ok(-wmb, r > 0)
+    atl = ok(-wmb - 1, (c > 0) & (r > 0))
+    atr = ok(-wmb + 1, (c < wmb - 1) & (r > 0))
+    meta = jnp.concatenate([
+        kind[None], parsed.astype(jnp.int32)[None],
+        al[None], at[None], atl[None], atr[None],
+        arrays["i16_mode"][None], arrays["chroma_mode"][None],
+        arrays["luma8x8_modes"].transpose(2, 0, 1),
+        arrays["luma4x4_modes"].transpose(2, 0, 1),
+        jnp.zeros((4, B, n), jnp.int32),
+    ], axis=0)                                                 # [32, B, n]
+
+    # ---- skew everything to wave-major lane-major slabs --------------------
+    flat = jnp.asarray(g["skew_idx"].reshape(-1))
+    valid = jnp.asarray(g["skew_valid"].reshape(-1).astype(np.int32))
+
+    def skew(x, S):
+        xs = x[:, :, flat]                                     # [S, B, W*maxw]
+        return xs.reshape(S, B, n_waves, maxw).transpose(
+            2, 0, 1, 3).reshape(n_waves, S, L)
+
+    meta_s = skew(meta, 32)
+    # parsed row also gates padded skew lanes (pack_skewed meta[..., 1])
+    vmask = jnp.broadcast_to(
+        valid.reshape(n_waves, 1, maxw),
+        (n_waves, B, maxw)).reshape(n_waves, 1, L)
+    meta_s = meta_s.at[:, 1:2].set(meta_s[:, 1:2] * vmask)
+    resl = skew(T, 256)
+    resc = skew(Tc, 128)
+    return meta_s, resl, resc
+
+
 def pack_fused(arrays, res, g, batch):
     """pack_skewed output -> wave-major slabs with lanes = B * maxw."""
     n_waves, maxw = g["skew_idx"].shape
@@ -237,8 +379,8 @@ def make_reconstruct_fused(wmb: int, hmb: int, batch: int,
     mrj, mlj = jnp.asarray(mr_np), jnp.asarray(ml_np)
 
     def recon(arrays, ls4, ls8, cb_off, cr_off):
-        res = build_residuals(arrays, ls4, ls8, cb_off, cr_off)
-        meta, resl, resc = pack_fused(arrays, res, g, batch)
+        meta, resl, resc = build_slabs(arrays, ls4, ls8, cb_off, cr_off,
+                                       g, batch)
         out_y, out_c = kernel(
             dr0j, shtopj, mrj, mlj, meta, resl, resc,
             jnp.asarray(_SEL4_T[0]), jnp.asarray(_SEL4_T[1]),

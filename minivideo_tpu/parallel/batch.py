@@ -84,7 +84,8 @@ def _parse_clip(path: str, pictures: int, mode) -> ParsedClip:
             raise ValueError("no IDR pictures found")
 
         fh = media.file_handle
-        length_prefixed = media.container == Container.MP4
+        length_prefixed = (track.length_prefixed
+                           or media.container == Container.MP4)
         out = bytearray()
         for ps in track.parameter_sets:
             out += b"\x00\x00\x00\x01" + ps
@@ -185,6 +186,8 @@ def batch_thumbnail(clips, outdir, *, pictures_per_clip: int = 1,
     if parse_workers is None:
         parse_workers = min(32, (os.cpu_count() or 4))
 
+    from ..profiling import StageTimer, device_trace
+    timer = StageTimer()
     result = BatchResult()
     with Manifest(manifest_path) as man:
         todo = man.pending(my_clips)
@@ -192,7 +195,8 @@ def batch_thumbnail(clips, outdir, *, pictures_per_clip: int = 1,
 
         # ---- stage 1: parallel host parse (failure-isolated) -------------
         parsed: list[ParsedClip] = []
-        with ThreadPoolExecutor(max_workers=parse_workers) as pool:
+        with timer.stage("parse", len(todo)), \
+                ThreadPoolExecutor(max_workers=parse_workers) as pool:
             futs = {pool.submit(_parse_clip, c, pictures_per_clip, mode): c
                     for c in todo}
             for fut, clip in futs.items():
@@ -230,7 +234,8 @@ def batch_thumbnail(clips, outdir, *, pictures_per_clip: int = 1,
                     owners.append((pc, fi))
             packed = pack_frames(frames, pcs[0].sps, pcs[0].pps)
             try:
-                ys, cbs, crs = recon(packed)
+                with timer.stage("recon", len(frames)), device_trace():
+                    ys, cbs, crs = recon(packed)
             except Exception as e:             # noqa: BLE001 — isolation
                 for pc in pcs:
                     man.failed(pc.path, error=f"recon: {e}")
@@ -264,15 +269,17 @@ def batch_thumbnail(clips, outdir, *, pictures_per_clip: int = 1,
                 pending_exports.append(export_pool.submit(export_clip,
                                                           items))
 
-        for fut in pending_exports:
-            try:
-                path, outs = fut.result()
-                man.done(path, outputs=outs)
-                result.done += 1
-                result.outputs.extend(outs)
-            except Exception as e:             # noqa: BLE001 — isolation
-                trace.warning("PARALLEL", "export failed: %s", e)
-                result.failed += 1
-        export_pool.shutdown()
+        with timer.stage("export", len(pending_exports)):
+            for fut in pending_exports:
+                try:
+                    path, outs = fut.result()
+                    man.done(path, outputs=outs)
+                    result.done += 1
+                    result.outputs.extend(outs)
+                except Exception as e:         # noqa: BLE001 — isolation
+                    trace.warning("PARALLEL", "export failed: %s", e)
+                    result.failed += 1
+            export_pool.shutdown()
 
+    timer.report("PARALLEL")
     return result

@@ -230,7 +230,83 @@ def write_avi(annexb: bytes, width: int, height: int, fps: int = 25,
 
 
 # ---------------------------------------------------------------------------
-# WAVE
+# Matroska
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            size = ((1 << (7 * ln)) | n).to_bytes(ln, "big")
+            break
+    return idb + size + payload
+
+
+def _ebml_uint(eid: int, v: int) -> bytes:
+    b = v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+    return _ebml_el(eid, b)
+
+
+def write_mkv(annexb: bytes, width: int, height: int,
+              lacing: str = "none") -> bytes:
+    """Wrap H.264 access units in a minimal Matroska file (SimpleBlocks
+    across two Clusters; AVCC length-prefixed frames + avcC
+    CodecPrivate).  lacing: "none" or "xiph" (all frames in one laced
+    SimpleBlock, still keyframes)."""
+    sps, pps, samples = annexb_to_avcc_samples(annexb)
+    avcc = bytes([1, sps[0][1], sps[0][2], sps[0][3], 0xFF,
+                  0xE0 | len(sps)])
+    for s in sps:
+        avcc += len(s).to_bytes(2, "big") + s
+    avcc += bytes([len(pps)])
+    for p in pps:
+        avcc += len(p).to_bytes(2, "big") + p
+
+    ebml = _ebml_el(0x1A45DFA3,
+                    _ebml_uint(0x4286, 1)            # EBMLVersion
+                    + _ebml_uint(0x42F7, 1)          # EBMLReadVersion
+                    + _ebml_uint(0x42F2, 4) + _ebml_uint(0x42F3, 8)
+                    + _ebml_el(0x4282, b"matroska")  # DocType
+                    + _ebml_uint(0x4287, 4) + _ebml_uint(0x4285, 2))
+    info = _ebml_el(0x1549A966, _ebml_uint(0x2AD7B1, 1000000))
+    video = _ebml_el(0xE0, _ebml_uint(0xB0, width) + _ebml_uint(0xBA,
+                                                                height))
+    entry = _ebml_el(0xAE, _ebml_uint(0xD7, 1) + _ebml_uint(0x73C5, 1)
+                     + _ebml_uint(0x83, 1)
+                     + _ebml_el(0x86, b"V_MPEG4/ISO/AVC")
+                     + _ebml_el(0x63A2, avcc) + video)
+    tracks = _ebml_el(0x1654AE6B, entry)
+
+    def simpleblock(frames, rel_ts):
+        hdr = bytes([0x81]) + rel_ts.to_bytes(2, "big", signed=True)
+        if len(frames) == 1:
+            return _ebml_el(0xA3, hdr + bytes([0x80]) + frames[0])
+        # Xiph lacing, keyframe flag set
+        flags = 0x80 | 0x02
+        table = bytes([len(frames) - 1])
+        for f in frames[:-1]:
+            n = len(f)
+            table += bytes([255] * (n // 255) + [n % 255])
+        return _ebml_el(0xA3, hdr + bytes([flags]) + table
+                        + b"".join(frames))
+
+    clusters = b""
+    if lacing == "xiph":
+        body = _ebml_uint(0xE7, 0) + simpleblock(samples, 0)
+        clusters += _ebml_el(0x1F43B675, body)
+    else:
+        half = (len(samples) + 1) // 2
+        for ci, chunk in enumerate((samples[:half], samples[half:])):
+            if not chunk:
+                continue
+            body = _ebml_uint(0xE7, ci * 1000)
+            for i, f in enumerate(chunk):
+                body += simpleblock([f], i * 40)
+            clusters += _ebml_el(0x1F43B675, body)
+
+    segment = _ebml_el(0x18538067, info + tracks + clusters)
+    return ebml + segment
 
 
 def write_wav(pcm: np.ndarray, rate: int = 16000) -> bytes:
@@ -322,6 +398,68 @@ def write_ps_mpeg2(width=720, height=576, ari=2, fri=3,
     ln = len(tail) + len(payload)
     out += b"\x00\x00\x01" + sid + ln.to_bytes(2, "big") + tail + payload
     out += b"\x00\x00\x01\xb9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MPEG-TS
+
+
+def write_ts(annexb: bytes) -> bytes:
+    """Wrap H.264 access units in a minimal single-program transport
+    stream: PAT (PID 0) -> PMT (PID 0x100) -> video PES on PID 0x101,
+    one PES unit per access unit, adaptation-field stuffing."""
+    sps, pps, samples = annexb_to_avcc_samples(annexb)
+    from minivideo_tpu.containers.mp4 import avcc_to_annexb
+    units = []
+    for i, s in enumerate(samples):
+        payload = avcc_to_annexb(s)
+        if i == 0:
+            payload = b"".join(b"\x00\x00\x00\x01" + x
+                               for x in sps + pps) + payload
+        units.append(payload)
+
+    out = bytearray()
+    cc = {}
+
+    def packet(pid, payload, pusi):
+        c = cc.get(pid, 0)
+        cc[pid] = (c + 1) & 0xF
+        hdr3 = bytes([0x47, (0x40 if pusi else 0) | (pid >> 8),
+                      pid & 0xFF])
+        if len(payload) == 184:
+            return hdr3 + bytes([0x10 | c]) + payload
+        af_len = 184 - len(payload) - 1
+        af = bytes([af_len])
+        if af_len > 0:
+            af += bytes([0x00]) + b"\xff" * (af_len - 1)
+        return hdr3 + bytes([0x30 | c]) + af + payload
+
+    # PAT: program 1 -> PMT PID 0x100
+    pat = bytes([0x00,                       # pointer_field
+                 0x00, 0xB0, 13,             # table_id, section_length
+                 0x00, 0x01, 0xC1, 0x00, 0x00,
+                 0x00, 0x01, 0xE1, 0x00,     # prog 1 -> PID 0x100
+                 0, 0, 0, 0])                # CRC (unchecked)
+    out += packet(0x0000, pat, True)
+    # PMT: one H.264 stream on PID 0x101
+    pmt = bytes([0x00,
+                 0x02, 0xB0, 18,
+                 0x00, 0x01, 0xC1, 0x00, 0x00,
+                 0xE1, 0x01,                 # PCR PID
+                 0xF0, 0x00,                 # program_info_length
+                 0x1B, 0xE1, 0x01, 0xF0, 0x00,
+                 0, 0, 0, 0])
+    out += packet(0x0100, pmt, True)
+
+    for i, es in enumerate(units):
+        pes = (b"\x00\x00\x01\xe0" + b"\x00\x00"      # length 0 (video)
+               + bytes([0x80, 0x80, 5]) + _encode_pts(3600 * (i + 1))
+               + es)
+        first = True
+        for off in range(0, len(pes), 184):
+            out += packet(0x0101, pes[off:off + 184], first)
+            first = False
     return bytes(out)
 
 

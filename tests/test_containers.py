@@ -94,6 +94,52 @@ def test_avi_opendml_indx(annexb, tmp_path):
     mv_close(m)
 
 
+@pytest.mark.parametrize("lacing", ["none", "xiph"])
+def test_mkv_demux_and_decode(annexb, lacing, tmp_path):
+    """MKV cluster indexing (SimpleBlocks, lacing) + H.264 decode —
+    exceeds the reference, whose MKV parser extracts nothing
+    (mkv.c:39-197)."""
+    mkv = C.write_mkv(annexb, 64, 48, lacing=lacing)
+    m = _open(tmp_path, "clip.mkv", mkv)
+    assert m.container == Container.MKV
+    assert mv_parse(m)
+    t = m.tracks_video[0]
+    assert t.stream_codec == Codec.H264
+    assert t.sample_count == 3
+    assert t.frame_count_idr == 3
+    assert len(t.parameter_sets) == 2          # SPS + PPS from avcC
+    assert (t.width, t.height) == (64, 48)
+    pics = mv_decode(m, picture_number=3)
+    ref = decode_annexb(annexb)
+    assert len(pics) == 3
+    for a, b in zip(pics, ref):
+        np.testing.assert_array_equal(a.y, b.y)
+        np.testing.assert_array_equal(a.cb, b.cb)
+    mv_close(m)
+
+
+def test_ts_demux_and_decode(annexb, tmp_path):
+    """TS PAT/PMT + PES reassembly from scattered transport packets +
+    H.264 decode — the reference stubs TS entirely (ts.c:40-71)."""
+    ts = C.write_ts(annexb)
+    m = _open(tmp_path, "clip.ts", ts)
+    assert m.container == Container.MPEG_TS
+    assert mv_parse(m)
+    t = m.tracks_video[0]
+    assert t.stream_codec == Codec.H264
+    assert t.sample_count == 3
+    assert t.frame_count_idr == 3
+    assert t.fragments is not None
+    assert t.sample_pts[0] > 0
+    pics = mv_decode(m, picture_number=3)
+    ref = decode_annexb(annexb)
+    assert len(pics) == 3
+    for a, b in zip(pics, ref):
+        np.testing.assert_array_equal(a.y, b.y)
+        np.testing.assert_array_equal(a.cr, b.cr)
+    mv_close(m)
+
+
 def test_wave_demux(tmp_path):
     rng = np.random.default_rng(0)
     pcm = (rng.standard_normal(16000) * 3000).astype(np.int16)
