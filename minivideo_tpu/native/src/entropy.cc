@@ -426,10 +426,18 @@ static const CabacTabs& cabac_tabs() {
 }
 
 struct CabacEngine {
+  // Buffered-low arithmetic decoder (same results as spec 9.3.3.2):
+  // `low` holds the engine offset in its top bits with S pending
+  // not-yet-consumed stream bits below it, so renormalization is just
+  // S -= shift (the offset absorbs pending bits) and the bitstream is
+  // touched only on 16-bit refills — the per-bin renorm read of the
+  // naive engine was its hottest memory op.
   BitReader* r;
   const CabacTabs* t = &cabac_tabs();
   uint8_t ctx[460];                    // (state << 1) | valMPS, one load
-  uint32_t range, offset;
+  uint32_t range;
+  uint64_t low;                        // offset << S | pending bits
+  int S = 0;                           // pending bit count
 
   void init_contexts(int qp) {
     if (qp < 0) qp = 0;
@@ -443,41 +451,58 @@ struct CabacEngine {
       else ctx[i] = (uint8_t)(((pre - 64) << 1) | 1);
     }
   }
+  inline void refill() {
+    if (S <= 24) {
+      low = (low << 16) | r->peek_bits(16);
+      r->pos += 16;                    // prefetch (zero-padded past EOF)
+      S += 16;
+      if (r->pos - S > r->nbits) r->error = true;  // CONSUMED past end
+    }
+  }
   void init_engine() {
     range = 510;
-    offset = r->read_bits(9);
+    low = r->read_bits(9);
+    S = 0;
+    refill();
   }
-  // multi-bit renormalization: shift count from the range's bit length
-  // instead of a bit-at-a-time loop (spec 9.3.3.2.2, same result)
-  inline void renorm() {
-    if (range < 256) {
-      int sh = 9 - (32 - __builtin_clz(range));
-      range <<= sh;
-      offset = (offset << sh) | r->read_bits_f(sh);
-    }
+  // return prefetched bits so the caller can read the raw stream
+  // (I_PCM path: spec 9.3.1.2 re-initializes after aligned reads)
+  void sync_reader() {
+    r->pos -= S;
+    S = 0;
+    low = 0;
   }
   inline int decision(int i) {
     uint32_t s = ctx[i];
     uint32_t r_lps = t->lps[s][(range >> 6) & 3];
     uint32_t r_mps = range - r_lps;
+    uint64_t thr = (uint64_t)r_mps << S;
     // branchless MPS/LPS select (conditional moves beat the ~50%
     // mispredicted branch that dominates CABAC decode)
-    uint32_t is_lps = offset >= r_mps;
+    int is_lps = low >= thr;
+    low -= is_lps ? thr : 0;
     range = is_lps ? r_lps : r_mps;
-    offset -= is_lps ? r_mps : 0u;
     ctx[i] = is_lps ? t->next_lps[s] : t->next_mps[s];
-    renorm();
-    return (int)((s & 1) ^ is_lps);
+    int k = 9 - (32 - __builtin_clz(range));   // renorm (k in 0..7)
+    range <<= k;
+    S -= k;
+    refill();
+    return (int)((s & 1) ^ (uint32_t)is_lps);
   }
   inline int bypass() {
-    offset = (offset << 1) | (uint32_t)r->read_bit();
-    if (offset >= range) { offset -= range; return 1; }
+    S -= 1;
+    refill();
+    uint64_t thr = (uint64_t)range << S;
+    if (low >= thr) { low -= thr; return 1; }
     return 0;
   }
   int terminate() {
     range -= 2;
-    if (offset >= range) return 1;
-    renorm();
+    if (low >= (uint64_t)range << S) return 1;
+    int k = 9 - (32 - __builtin_clz(range));
+    range <<= k;
+    S -= k;
+    refill();
     return 0;
   }
 };
@@ -836,6 +861,7 @@ int SliceDec::parse_mb_cabac(int mb) {
   int mb_type;
   if (e.decision(3 + cab.cond_mbtype(mb)) == 0) mb_type = 0;
   else if (e.terminate()) {
+    e.sync_reader();                 // return prefetched bits for PCM
     apply_pcm(mb);
     cab.prev_qp_delta = 0;
     e.init_engine();
