@@ -157,11 +157,20 @@ def main():
     cb_off, cr_off = packed.chroma_qp_off
     fn = make_reconstruct_fused(WMB, HMB, BATCH)
 
-    def run_device():
-        y, cb, cr = fn(arrays, ls4, ls8, cb_off, cr_off)
+    def sync(y):
         # tiny dependent readback: the only reliable fence on this
         # backend; full-plane readback would measure the relay tunnel
         _ = np.asarray(y[0, 0, :2])
+
+    def run_device(iters=1):
+        # pipelined dispatch: enqueue all batches, fence once (the
+        # device executes in order, so the last output fences all;
+        # per-batch fencing would pay the ~26 ms tunnel round trip
+        # each time)
+        last = None
+        for _ in range(iters):
+            last, cb, cr = fn(arrays, ls4, ls8, cb_off, cr_off)
+        sync(last)
 
     log("bench: compiling + warmup...")
     t0 = time.time()
@@ -171,12 +180,11 @@ def main():
     from minivideo_tpu.profiling import device_trace
     t0 = time.time()
     with device_trace():          # set MINIVIDEO_TPU_PROFILE=<dir> to trace
-        for _ in range(ITERS):
-            run_device()
+        run_device(ITERS)
     dt = time.time() - t0
     device_fps = BATCH * ITERS / dt
     log(f"bench: device stage: {dt/ITERS*1000:.0f} ms/batch "
-        f"({device_fps:.1f} fps)")
+        f"({device_fps:.1f} fps, pipelined dispatch)")
 
     # ---- overlapped pipeline ----------------------------------------------
     # host and device stages run concurrently on their real work; wall
@@ -194,8 +202,7 @@ def main():
     t0 = time.time()
     th = threading.Thread(target=host_worker)
     th.start()
-    for _ in range(ITERS):
-        run_device()
+    run_device(ITERS)
     th.join()
     dt = time.time() - t0
     if err:

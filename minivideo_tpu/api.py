@@ -108,3 +108,22 @@ def mv_extract(media: MediaFile, track: Track, out_path: str,
 
 def mv_close(media: MediaFile) -> None:
     media.close()
+
+
+def mv_print_infos() -> None:
+    """Library/build info dump (minivideo_print_infos, minivideo.c:59)."""
+    from .settings import print_infos
+    print_infos()
+
+
+def mv_get_infos() -> dict:
+    """Version + feature flags (minivideo_get_infos, minivideo.c:140)."""
+    from .settings import get_infos
+    return get_infos()
+
+
+def mv_endianness() -> int:
+    """4321 little-endian / 1234 big-endian (minivideo_endianness,
+    minivideo.c:159)."""
+    from .settings import endianness
+    return endianness()

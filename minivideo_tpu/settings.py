@@ -1,0 +1,108 @@
+"""Runtime settings subsystem.
+
+The reference configures itself at BUILD time: CMake options are baked
+into minivideo_settings.h by configure_file (CMakeLists.txt:25-36,
+126-132 — versions, DEBUG, COLORS, export backends) plus decoder
+feature #defines (ENABLE_IPCM / ENABLE_INTER_PRED / ...).  A Python/JAX
+framework configures at IMPORT time instead: one Settings snapshot read
+from environment variables, with the same roles.
+
+| Reference (minivideo_settings.h.in)  | Here                           |
+|--------------------------------------|--------------------------------|
+| minivideo_VERSION_MAJOR/MINOR/PATCH  | VERSION tuple                  |
+| ENABLE_DEBUG / ENABLE_COLORS         | MINIVIDEO_TPU_TRACE[_COLOR]    |
+| JPEG/PNG/STBIMWRITE export backends  | built-in writers, always on    |
+| ENABLE_IPCM (h264_macroblock.c:118)  | always on (decode_ipcm)        |
+| n/a (no accelerator in reference)    | MINIVIDEO_TPU_NO_NATIVE,       |
+|                                      | MINIVIDEO_TPU_ENGINE,          |
+|                                      | MINIVIDEO_TPU_PROFILE          |
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass
+
+VERSION = (0, 2, 0)          # round-2 snapshot
+VERSION_STR = ".".join(str(v) for v in VERSION)
+
+# reconstruction engines, in "production-ness" order
+ENGINES = ("fused", "lane", "wave", "scatter", "np")
+
+
+@dataclass(frozen=True)
+class Settings:
+    """Immutable snapshot of the runtime configuration."""
+    version: tuple = VERSION
+    trace_level: str = ""            # MINIVIDEO_TPU_TRACE (see trace.py)
+    trace_color: bool = True
+    use_native: bool = True          # C++ demux/entropy fast paths
+    engine: str = "fused"            # default TPU reconstruction engine
+    profile_dir: str = ""            # jax.profiler output (profiling.py)
+    decode_ipcm: bool = True         # parity flag; reference gates IPCM
+
+    @staticmethod
+    def from_env(env=None) -> "Settings":
+        e = os.environ if env is None else env
+        engine = e.get("MINIVIDEO_TPU_ENGINE", "fused")
+        if engine not in ENGINES:
+            engine = "fused"
+        return Settings(
+            trace_level=e.get("MINIVIDEO_TPU_TRACE", ""),
+            trace_color=e.get("MINIVIDEO_TPU_COLOR", "1") != "0",
+            use_native=e.get("MINIVIDEO_TPU_NO_NATIVE") != "1",
+            engine=engine,
+            profile_dir=e.get("MINIVIDEO_TPU_PROFILE", ""),
+        )
+
+
+_settings: Settings | None = None
+
+
+def settings() -> Settings:
+    global _settings
+    if _settings is None:
+        _settings = Settings.from_env()
+    return _settings
+
+
+def endianness() -> int:
+    """4321 for little-endian hosts, 1234 for big-endian (the reference's
+    minivideo_endianness contract, minivideo.c:159-199)."""
+    return 4321 if sys.byteorder == "little" else 1234
+
+
+def get_infos() -> dict:
+    """Version + feature flags (reference minivideo_get_infos,
+    minivideo.c:140-156)."""
+    s = settings()
+    from .native import available
+    info = {
+        "version": VERSION_STR,
+        "version_major": VERSION[0],
+        "version_minor": VERSION[1],
+        "version_patch": VERSION[2],
+        "python": sys.version.split()[0],
+        "endianness": endianness(),
+        "traces": bool(s.trace_level),
+        "colors": s.trace_color,
+        "native_runtime": s.use_native and available(),
+        "engine": s.engine,
+        "ipcm": s.decode_ipcm,
+    }
+    try:
+        import jax
+        info["jax"] = jax.__version__
+        info["devices"] = [str(d) for d in jax.devices()]
+    except Exception:                      # noqa: BLE001 — report without jax
+        info["jax"] = None
+    return info
+
+
+def print_infos(file=None) -> None:
+    """Human-readable settings dump (reference minivideo_print_infos,
+    minivideo.c:59-137)."""
+    f = file or sys.stdout
+    for k, v in get_infos().items():
+        print(f"* {k}: {v}", file=f)

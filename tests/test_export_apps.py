@@ -160,3 +160,23 @@ def test_analyser_cli(clip264):
     rows = json.loads(r2.stdout)
     assert len(rows) > 0
     assert rows[0]["type"] in ("VIDEO_PARAM", "VIDEO_SYNC")
+
+
+def test_api_infos():
+    """API parity: mv_print_infos / mv_get_infos / mv_endianness
+    (reference minivideo.h:59-149)."""
+    import io
+    import sys
+    from minivideo_tpu.api import mv_endianness, mv_get_infos
+    from minivideo_tpu.settings import Settings, print_infos
+
+    info = mv_get_infos()
+    assert info["version_major"] >= 0
+    assert info["endianness"] == mv_endianness() in (1234, 4321)
+    assert isinstance(info["native_runtime"], bool)
+    buf = io.StringIO()
+    print_infos(file=buf)
+    assert "version" in buf.getvalue()
+    s = Settings.from_env({"MINIVIDEO_TPU_ENGINE": "bogus",
+                           "MINIVIDEO_TPU_NO_NATIVE": "1"})
+    assert s.engine == "fused" and s.use_native is False
