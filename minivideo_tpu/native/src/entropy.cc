@@ -5,7 +5,7 @@
 // This is a line-for-line port of the *Python* implementation in
 // minivideo_tpu/models/h264/{syntax,cavlc,cabac}.py (not of the reference
 // C code); parity with the Python parser is enforced by
-// tests/test_native.py on fuzzed streams.
+// tests/test_entropy_parity.py on fuzzed streams.
 //
 // The C ABI writes directly into caller-provided numpy buffers laid out
 // exactly like FrameSyntax (see bindings in minivideo_tpu/native/__init__.py).
