@@ -128,11 +128,54 @@ def bitrate_graph(path: str, track_index: int, buckets: int = 40):
         mv_close(media)
 
 
+def hex_dump(path: str, track_index: int, sample_index: int,
+             max_bytes: int = 256):
+    """Hexdump of one sample's bytes (the CLI equivalent of
+    mini_analyser's QHexEdit2 pane, hexeditor.cpp)."""
+    media = mv_open(path)
+    try:
+        mv_parse(media)
+        t = media.tracks[track_index]
+        raw = t.read_sample(media.file_handle, sample_index)[:max_bytes]
+        lines = []
+        for off in range(0, len(raw), 16):
+            chunk = raw[off:off + 16]
+            hexs = " ".join(f"{b:02x}" for b in chunk)
+            txt = "".join(chr(b) if 32 <= b < 127 else "." for b in chunk)
+            lines.append(f"{off:08x}  {hexs:<47}  |{txt}|")
+        return lines
+    finally:
+        mv_close(media)
+
+
+def fourcc_info(token: str) -> dict:
+    """FourCC helper (mini_analyser's fourcchelper.cpp): accepts a
+    4-char code or 0x hex value; prints every representation + the
+    codec mapping."""
+    from ..codecs import codec_from_fourcc, codec_name
+    if token.lower().startswith("0x"):
+        v = int(token, 16)
+        chars = v.to_bytes(4, "big").decode("latin-1")
+    else:
+        chars = (token + "    ")[:4]
+        v = int.from_bytes(chars.encode("latin-1"), "big")
+    codec = codec_from_fourcc(chars)
+    return {
+        "fourcc": chars,
+        "hex_be": f"0x{v:08X}",
+        "hex_le": "0x" + "".join(
+            f"{b:02X}" for b in v.to_bytes(4, "little")),
+        "decimal": v,
+        "codec": codec_name(codec),
+        "codec_long": codec_name(codec, long=True),
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="tvid-analyse",
         description="Inspect media files: container, tracks, samples")
-    p.add_argument("inputs", nargs="+", help="media file(s)")
+    p.add_argument("inputs", nargs="*", help="media file(s)")
     p.add_argument("--json", action="store_true", help="JSON output")
     p.add_argument("--samples", type=int, metavar="TRACK", default=None,
                    help="print the sample table of track N")
@@ -140,7 +183,22 @@ def main(argv=None) -> int:
                    help="max samples to print")
     p.add_argument("--bitrate", type=int, metavar="TRACK", default=None,
                    help="print a bitrate graph for track N")
+    p.add_argument("--hex", metavar="TRACK:SAMPLE[:BYTES]", default=None,
+                   help="hexdump a sample's bytes")
+    p.add_argument("--fourcc", metavar="CODE", default=None,
+                   help="FourCC helper: 4-char code or 0x hex value")
     args = p.parse_args(argv)
+
+    if args.fourcc is not None:
+        info = fourcc_info(args.fourcc)
+        if args.json:
+            print(json.dumps(info, indent=2))
+        else:
+            for k, v in info.items():
+                print(f"{k:>11}: {v}")
+        return 0
+    if not args.inputs:
+        p.error("media file(s) required")
 
     for path in args.inputs:
         if not os.path.isfile(path):
@@ -160,6 +218,13 @@ def main(argv=None) -> int:
             continue
         if args.bitrate is not None:
             for line in bitrate_graph(path, args.bitrate):
+                print(line)
+            continue
+        if args.hex is not None:
+            parts = [int(x) for x in args.hex.split(":")]
+            tr, si = parts[0], parts[1]
+            nb = parts[2] if len(parts) > 2 else 256
+            for line in hex_dump(path, tr, si, nb):
                 print(line)
             continue
         info = analyse(path)

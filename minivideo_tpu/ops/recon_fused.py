@@ -127,8 +127,10 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
         sel8=(s8m_ref[...], s8r_ref[...], s8s_ref[...]),
         tile_ref=tile_scr)
 
-    outy_ref[0] = tile
-    outc_ref[0] = ctile
+    # uint8 output stores: values are already clipped to [0, 255] and
+    # halving the written bytes also halves the unskew pass's reads
+    outy_ref[0] = tile.astype(jnp.uint8)
+    outc_ref[0] = ctile.astype(jnp.uint8)
 
     # ---- state updates ----------------------------------------------------
     upd = parsed > 0                                  # [1, L]
@@ -193,8 +195,8 @@ def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False):
         partial(_wave_kernel, maxw=maxw, L=L),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_waves, 256, L), jnp.int32),
-            jax.ShapeDtypeStruct((n_waves, 128, L), jnp.int32),
+            jax.ShapeDtypeStruct((n_waves, 256, L), jnp.uint8),
+            jax.ShapeDtypeStruct((n_waves, 128, L), jnp.uint8),
         ],
         interpret=interpret,
     )
@@ -386,8 +388,7 @@ def make_reconstruct_fused(wmb: int, hmb: int, batch: int,
             jnp.asarray(_SEL4_T[0]), jnp.asarray(_SEL4_T[1]),
             jnp.asarray(_SEL4_T[2]), jnp.asarray(_SEL8_T[0]),
             jnp.asarray(_SEL8_T[1]), jnp.asarray(_SEL8_T[2]))
-        return unskew_fused(out_y.astype(jnp.uint8),
-                            out_c.astype(jnp.uint8), g, batch)
+        return unskew_fused(out_y, out_c, g, batch)
 
     return jax.jit(recon)
 

@@ -180,3 +180,20 @@ def test_api_infos():
     s = Settings.from_env({"MINIVIDEO_TPU_ENGINE": "bogus",
                            "MINIVIDEO_TPU_NO_NATIVE": "1"})
     assert s.engine == "fused" and s.use_native is False
+
+
+def test_analyser_hex_and_fourcc(tmp_path, capsys):
+    """mini_analyser parity: hex pane + FourCC helper as CLI modes."""
+    from fixtures.h264enc import make_stream
+    from fixtures.containers import write_mp4
+    from minivideo_tpu.apps.analyser import main as analyser_main
+    data = make_stream(width_mbs=4, height_mbs=3, n_pictures=1, seed=1,
+                       allow_pcm=False)
+    p = tmp_path / "h.mp4"
+    p.write_bytes(write_mp4(data, 64, 48))
+    assert analyser_main([str(p), "--hex", "0:0:32"]) == 0
+    out = capsys.readouterr().out
+    assert "00000000" in out and "|" in out
+    assert analyser_main(["--fourcc", "0x61766331"]) == 0
+    out = capsys.readouterr().out
+    assert "avc1" in out and "H264" in out
