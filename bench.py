@@ -43,7 +43,7 @@ import numpy as np
 
 WMB, HMB = 120, 68          # 1920x1088 coded size (1080p)
 BATCH = 16
-ITERS = 8                   # batches per measurement
+ITERS = 16                  # batches per measurement
 
 
 def log(*a):
