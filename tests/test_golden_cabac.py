@@ -106,6 +106,34 @@ def test_golden_cabac_fuzz(seed, tmp_path):
     assert_bit_exact(data, 6, 5, 2, tmp_path)
 
 
+def test_golden_cabac_high_levels(tmp_path):
+    """UEG0 suffix bins (|level| >= 15) + escape bypass chains."""
+    data = make_stream2(width_mbs=4, height_mbs=3, n_pictures=1, seed=14,
+                        entropy="cabac", mb_kinds=("i16", "i4"),
+                        density=0.5, max_level=200)
+    assert_bit_exact(data, 4, 3, 1, tmp_path)
+
+
+def test_golden_cabac_dense(tmp_path):
+    data = make_stream2(width_mbs=4, height_mbs=3, n_pictures=1, seed=15,
+                        entropy="cabac", mb_kinds=("i16", "i4"),
+                        density=0.95, max_level=40)
+    assert_bit_exact(data, 4, 3, 1, tmp_path)
+
+
+def test_golden_cabac_big_high_levels(tmp_path):
+    """Wide frame + large levels.  NOTE the reference fails outright on
+    120x68 (1080p) CABAC streams — even plain ones — with 'Fatal error
+    during Arithmetic (suffix) decoding' (h264_cabac.c:498), a latent
+    geometry-related bug beyond the OOB fix (it still decodes 64x36
+    fine, see test_golden_cabac_large_frame; envelope documented in
+    BASELINE.md)."""
+    data = make_stream2(width_mbs=32, height_mbs=18, n_pictures=1,
+                        seed=16, entropy="cabac", mb_kinds=("i16", "i4"),
+                        density=0.35, max_level=100)
+    assert_bit_exact(data, 32, 18, 1, tmp_path)
+
+
 def test_golden_cabac_large_frame(tmp_path):
     """>= 64x36 MBs (1024x576): exercises long significance runs and
     context state over thousands of MBs (VERDICT round 1 item 4)."""
