@@ -130,10 +130,11 @@ class H264Decoder:
     def _decode_idr(self, nalus):
         fs, sps, pps, slice_of_mb = self.parse_idr_syntax(nalus)
         if self.engine == "jax":
-            from ...ops.recon import pack_frames, reconstruct_frames
+            from ...ops.recon import pack_frames
+            from ...ops.recon_wave import reconstruct_frames_wave
             import numpy as _np
             packed = pack_frames([(fs, slice_of_mb)], sps, pps)
-            yb, cbb, crb = reconstruct_frames(packed)
+            yb, cbb, crb = reconstruct_frames_wave(packed)
             y, cb, cr = (_np.asarray(yb[0]), _np.asarray(cbb[0]),
                          _np.asarray(crb[0]))
         else:
