@@ -89,33 +89,33 @@ def prep_slices(data):
 
 
 def parse_frame(arg):
-    """One frame's entropy decode, written directly into the batch
-    staging buffers (host; no coefficient copies)."""
-    from minivideo_tpu.ops.recon import syntax_into
-    from minivideo_tpu.native import parse_slice_native
+    """One frame's entropy decode, written directly into the batch's
+    slot-ordered slab staging (host; no coefficient copies, and the
+    device prep over these buffers is one dense transpose)."""
+    from minivideo_tpu.models.h264.syntax import FrameSyntax
+    from minivideo_tpu.native import parse_slice_native_slab
     staging, i, item = arg
     nalu, sh, sps, pps = item
-    fs = syntax_into(staging, i, sps.pic_width_in_mbs,
-                     sps.pic_height_in_map_units)
-    parse_slice_native(fs, nalu.rbsp, sh.data_bit_offset,
-                       sh.first_mb_in_slice, sh.qp,
-                       bool(pps.entropy_coding_mode_flag),
-                       bool(pps.transform_8x8_mode_flag))
+    fs = FrameSyntax(sps.pic_width_in_mbs, sps.pic_height_in_map_units)
+    parse_slice_native_slab(fs, staging, i, nalu.rbsp,
+                            sh.data_bit_offset, sh.first_mb_in_slice,
+                            sh.qp, bool(pps.entropy_coding_mode_flag),
+                            bool(pps.transform_8x8_mode_flag))
     return fs
 
 
 def host_batch(slices, pool):
     """Entropy-decode one BATCH of frames (cycling the distinct encoded
     frames) and pack to device layout.  Returns PackedFrames."""
-    from minivideo_tpu.ops.recon import (make_frame_staging,
-                                         pack_frames_staged)
-    staging = make_frame_staging(WMB, HMB, BATCH)
+    from minivideo_tpu.ops.recon import (make_slab_staging,
+                                         pack_frames_slots)
+    staging = make_slab_staging(WMB, HMB, BATCH)
     items = [(staging, i, slices[i % len(slices)])
              for i in range(BATCH)]
     fss = list(pool.map(parse_frame, items))
     _, _, sps, pps = slices[0]
-    return pack_frames_staged(staging, [(fs, None) for fs in fss],
-                              sps, pps)
+    return pack_frames_slots(staging, [(fs, None) for fs in fss],
+                             sps, pps)
 
 
 def main():
@@ -124,7 +124,7 @@ def main():
                       os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from minivideo_tpu.ops.recon_fused import make_reconstruct_fused
+    from minivideo_tpu.ops.recon_fused import make_reconstruct_fused_slots
 
     dev = jax.devices()[0]
     ncpu = os.cpu_count() or 2
@@ -133,9 +133,11 @@ def main():
     # ---- host stage --------------------------------------------------------
     pool = ThreadPoolExecutor(max_workers=ncpu)
     entropy_fps = {}
-    packed = None
+    packs = {}
+    all_slices = {}
     for entropy in ("cavlc", "cabac"):
         slices = prep_slices(get_stream(entropy))
+        all_slices[entropy] = slices
         t0 = time.time()
         pk = host_batch(slices, pool)
         dt_first = time.time() - t0
@@ -146,36 +148,45 @@ def main():
         log(f"bench: host stage [{entropy}]: {dt*1000:.0f} ms/batch "
             f"({entropy_fps[entropy]:.1f} fps entropy+pack, {ncpu} threads;"
             f" first {dt_first*1000:.0f} ms)")
-        if entropy == "cavlc":
-            packed = pk
-            cavlc_slices = slices
+        packs[entropy] = pk
 
     # ---- device stage ------------------------------------------------------
-    arrays = {k: jnp.asarray(v) for k, v in packed.arrays.items()}
-    ls4 = jnp.asarray(packed.ls4)
-    ls8 = jnp.asarray(packed.ls8)
-    cb_off, cr_off = packed.chroma_qp_off
-    fn = make_reconstruct_fused(WMB, HMB, BATCH)
+    fn0 = make_reconstruct_fused_slots(WMB, HMB, BATCH)
+    dev_fns = {}
+    for entropy, pk in packs.items():
+        small = {k: jnp.asarray(v) for k, v in pk.arrays.items()
+                 if not k.endswith("_slab")}
+        luma_s = jnp.asarray(pk.arrays["luma_slab"])
+        chroma_s = jnp.asarray(pk.arrays["chroma_slab"])
+        dc_s = jnp.asarray(pk.arrays["dc_slab"])
+        ls4 = jnp.asarray(pk.ls4)
+        ls8 = jnp.asarray(pk.ls8)
+        cb_off, cr_off = pk.chroma_qp_off
+        dev_fns[entropy] = (
+            lambda s=small, l=luma_s, c=chroma_s, d=dc_s, a=ls4, b=ls8,
+            co=cb_off, cr=cr_off: fn0(s, l, c, d, a, b, co, cr))
 
     def sync(y):
         # tiny dependent readback: the only reliable fence on this
         # backend; full-plane readback would measure the relay tunnel
         _ = np.asarray(y[0, 0, :2])
 
-    def run_device(iters=1):
+    def run_device(iters=1, entropy="cavlc"):
         # pipelined dispatch: enqueue all batches, fence once (the
         # device executes in order, so the last output fences all;
         # per-batch fencing would pay the ~26 ms tunnel round trip
         # each time)
+        fn = dev_fns[entropy]
         last = None
         for _ in range(iters):
-            last, cb, cr = fn(arrays, ls4, ls8, cb_off, cr_off)
+            last, cb, cr = fn()
         sync(last)
 
     log("bench: compiling + warmup...")
     t0 = time.time()
     run_device()
     log(f"bench: first call (compile) {time.time()-t0:.1f}s")
+    run_device(1, "cabac")
 
     from minivideo_tpu.profiling import device_trace
     t0 = time.time()
@@ -186,36 +197,40 @@ def main():
     log(f"bench: device stage: {dt/ITERS*1000:.0f} ms/batch "
         f"({device_fps:.1f} fps, pipelined dispatch)")
 
-    # ---- overlapped pipeline ----------------------------------------------
+    # ---- overlapped pipeline, BOTH entropy coders --------------------------
     # host and device stages run concurrently on their real work; wall
     # clock over ITERS batches = end-of-pipe throughput of a co-located
     # deployment (transfer excluded; see module docstring)
-    err = []
+    e2e = {}
+    for entropy in ("cavlc", "cabac"):
+        err = []
 
-    def host_worker():
-        try:
-            for _ in range(ITERS):
-                host_batch(cavlc_slices, pool)
-        except Exception as e:                    # noqa: BLE001
-            err.append(e)
+        def host_worker():
+            try:
+                for _ in range(ITERS):
+                    host_batch(all_slices[entropy], pool)
+            except Exception as e:                    # noqa: BLE001
+                err.append(e)
 
-    t0 = time.time()
-    th = threading.Thread(target=host_worker)
-    th.start()
-    run_device(ITERS)
-    th.join()
-    dt = time.time() - t0
-    if err:
-        raise err[0]
-    e2e_fps = BATCH * ITERS / dt
-    log(f"bench: overlapped pipeline: {BATCH*ITERS} frames in {dt:.2f}s "
-        f"-> {e2e_fps:.1f} fps end-of-pipe")
+        t0 = time.time()
+        th = threading.Thread(target=host_worker)
+        th.start()
+        run_device(ITERS, entropy)
+        th.join()
+        dt = time.time() - t0
+        if err:
+            raise err[0]
+        e2e[entropy] = BATCH * ITERS / dt
+        log(f"bench: overlapped [{entropy}]: {BATCH*ITERS} frames in "
+            f"{dt:.2f}s -> {e2e[entropy]:.1f} fps end-of-pipe")
 
     print(json.dumps({
         "metric": "1080p_iframes_per_s",
-        "value": round(e2e_fps, 2),
+        "value": round(e2e["cavlc"], 2),
         "unit": "frames/s",
-        "vs_baseline": round(e2e_fps / 1000.0, 3),
+        "vs_baseline": round(e2e["cavlc"] / 1000.0, 3),
+        "value_cavlc": round(e2e["cavlc"], 2),
+        "value_cabac": round(e2e["cabac"], 2),
         "device_fps": round(device_fps, 1),
         "entropy_cavlc_fps": round(entropy_fps["cavlc"], 1),
         "entropy_cabac_fps": round(entropy_fps["cabac"], 1),

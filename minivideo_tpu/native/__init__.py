@@ -52,6 +52,13 @@ def load():
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_void_p),
     ]
+    lib.mv_parse_slice_slab.restype = ctypes.c_int64
+    lib.mv_parse_slice_slab.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
     _lib = lib
     return lib
 
@@ -99,4 +106,33 @@ def parse_slice_native(fs, rbsp: bytes, data_bit_offset: int,
         c = fs.chroma_ac[mb].reshape(2, 8, 8).astype(np.uint8)
         fs.pcm_cb[mb] = c[0]
         fs.pcm_cr[mb] = c[1]
+    return int(n)
+
+
+def parse_slice_native_slab(fs, slabs, i: int, rbsp: bytes,
+                            data_bit_offset: int, first_mb: int,
+                            slice_qp: int, entropy_cabac: bool,
+                            transform8x8_mode: bool) -> int:
+    """Slab-emission parse: coefficients land in `slabs` (the dict from
+    ops.recon.make_slab_staging) at batch row `i` as skew-slot-ordered
+    int16 records; per-MB metadata still fills `fs`.  The device prep
+    for these buffers is one dense transpose (ops/slab.slot_feed)."""
+    lib = load()
+    assert lib is not None
+    bufs = (ctypes.c_void_p * (len(_FIELDS) + 3))()
+    for j, name in enumerate(_FIELDS):
+        arr = getattr(fs, name)
+        assert isinstance(arr, np.ndarray) and arr.flags["C_CONTIGUOUS"]
+        bufs[j] = arr.ctypes.data_as(ctypes.c_void_p).value
+    for j, name in enumerate(("luma_slab", "chroma_slab", "dc_slab")):
+        arr = slabs[name][i]
+        assert arr.dtype == np.int16 and arr.flags["C_CONTIGUOUS"]
+        bufs[len(_FIELDS) + j] = arr.ctypes.data_as(ctypes.c_void_p).value
+    n = lib.mv_parse_slice_slab(
+        rbsp, len(rbsp), data_bit_offset,
+        fs.width_mbs, fs.height_mbs, first_mb, slice_qp,
+        1 if entropy_cabac else 0, 1 if transform8x8_mode else 0,
+        slabs["maxw"], bufs)
+    if n < 0:
+        raise RuntimeError(f"native slab slice parse failed (code {n})")
     return int(n)

@@ -162,6 +162,11 @@ struct FrameBufs {
   int32_t* chroma_ac;        // [n][2][4][16]
   int16_t* total_coeff_luma;    // [n][16]
   int16_t* total_coeff_chroma;  // [n][2][4]
+  // slab mode (see ops/slab.py for the layouts): coefficient writes go
+  // to skew-slot-ordered int16 records instead of the raster buffers
+  int16_t* luma_slab = nullptr;    // [n_waves*maxw][256]
+  int16_t* chroma_slab = nullptr;  // [n_waves*maxw][128]
+  int16_t* dc_slab = nullptr;      // [n_waves*maxw][32]
   int8_t* cbf_luma_dc;
   int8_t* cbf_luma;          // [n][16]
   int8_t* cbf_luma8x8;       // [n][4]
@@ -172,6 +177,53 @@ struct FrameBufs {
 };
 
 constexpr int KIND_I4 = 0, KIND_I16 = 1, KIND_PCM = 2, KIND_I8 = 3;
+
+// ---------------------------------------------------------------------------
+// slab-mode write tables (scan position -> slab offset; ops/slab.py layouts)
+
+struct SlabTabs {
+  int l4[16][16];    // [decode-order blk][scan k] -> luma slab offset
+  int l8[4][64];     // [blk8][scan k]
+  int c4[8][16];     // [4*ic + blk][scan k] -> chroma slab offset
+  int pcm_y[256];    // raster pixel -> luma slab offset
+  int pcm_c[128];    // (64*ic + 8*Y + X) -> chroma slab offset
+  SlabTabs() {
+    for (int blk = 0; blk < 16; blk++) {
+      // decode order blk = 8*y8 + 4*x8 + 2*y4 + x4 -> raster b = 4u+v
+      int y8 = blk >> 3, x8 = (blk >> 2) & 1, y4 = (blk >> 1) & 1,
+          x4 = blk & 1;
+      int b = 4 * (2 * y8 + y4) + 2 * x8 + x4;
+      for (int k = 0; k < 16; k++) {
+        int r = kZigzag4[k];
+        l4[blk][k] = 64 * (r & 3) + 16 * (r >> 2) + b;
+      }
+    }
+    for (int b8 = 0; b8 < 4; b8++)
+      for (int k = 0; k < 64; k++) {
+        int r = kZigzag8[k];
+        l8[b8][k] = 32 * (r & 7) + 4 * (r >> 3) + b8;
+      }
+    for (int q = 0; q < 8; q++)
+      for (int k = 0; k < 16; k++) {
+        int r = kZigzag4[k];
+        c4[q][k] = 32 * (r & 3) + 8 * (r >> 2) + q;
+      }
+    for (int i = 0; i < 256; i++) {
+      int Y = i >> 4, X = i & 15;
+      pcm_y[i] = 64 * (Y & 3) + 16 * (X & 3) + 4 * (Y >> 2) + (X >> 2);
+    }
+    for (int i = 0; i < 128; i++) {
+      int ic = i >> 6, Y = (i >> 3) & 7, X = i & 7;
+      pcm_c[i] = 32 * (Y & 3) + 8 * (X & 3) + 4 * ic + 2 * (Y >> 2)
+               + (X >> 2);
+    }
+  }
+};
+
+static const SlabTabs& slab_tabs() {
+  static const SlabTabs T;
+  return T;
+}
 
 // ---------------------------------------------------------------------------
 // spatial neighbor derivations (port of spatial.py)
@@ -688,13 +740,70 @@ struct SliceDec {
   int cabac;
   int transform8x8_mode;
   int chroma_array_type = 1;
+  int slab_mode = 0;
+  int maxw = 0;                 // skew lane width (slab mode)
   int64_t stop_bit;
   CavlcCtx cav;
   CabacCtx cab;
 
-  void scatter_zz4(int mb_blk_base, const int* scan) {
-    int32_t* out = f.luma_ac + mb_blk_base * 16;
-    for (int k = 0; k < 16; k++) out[kZigzag4[k]] = scan[k];
+  // skew slot of MB (r, c): wave w = 2r + c, lane k = r0(w) - r
+  // (must match ops/recon_wave.skew_tables)
+  inline int64_t slot_of(int mb) const {
+    int rr = mb / g.wmb, cc = mb % g.wmb;
+    int w = 2 * rr + cc;
+    int r0w = w / 2 < g.hmb - 1 ? w / 2 : g.hmb - 1;
+    return (int64_t)w * maxw + (r0w - rr);
+  }
+
+  // coefficient stores: scan-ordered levels -> raster buffers (classic
+  // mode) or skew-slot slab records (slab mode; ops/slab.py layouts)
+  void store_luma_dc(int mb, const int* lv) {
+    if (slab_mode) {
+      int16_t* out = f.dc_slab + slot_of(mb) * 32;
+      for (int k = 0; k < 16; k++) out[kZigzag4[k]] = (int16_t)lv[k];
+    } else {
+      int32_t* out = f.luma_dc + mb * 16;
+      for (int k = 0; k < 16; k++) out[kZigzag4[k]] = lv[k];
+    }
+  }
+  void store_luma4(int mb, int blk, const int* full) {
+    if (slab_mode) {
+      int16_t* out = f.luma_slab + slot_of(mb) * 256;
+      const int* t = slab_tabs().l4[blk];
+      for (int k = 0; k < 16; k++) out[t[k]] = (int16_t)full[k];
+    } else {
+      int32_t* out = f.luma_ac + (mb * 16 + blk) * 16;
+      for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+    }
+  }
+  void store_luma8(int mb, int b8, const int* lv64) {
+    if (slab_mode) {
+      int16_t* out = f.luma_slab + slot_of(mb) * 256;
+      const int* t = slab_tabs().l8[b8];
+      for (int k = 0; k < 64; k++) out[t[k]] = (int16_t)lv64[k];
+    } else {
+      int32_t* out = f.luma8x8_coeff + (mb * 4 + b8) * 64;
+      for (int k = 0; k < 64; k++) out[kZigzag8[k]] = lv64[k];
+    }
+  }
+  void store_chroma_dc(int mb, int ic, const int* lv) {
+    if (slab_mode) {
+      int16_t* out = f.dc_slab + slot_of(mb) * 32 + 16 + ic * 4;
+      for (int k = 0; k < 4; k++) out[k] = (int16_t)lv[k];
+    } else {
+      int32_t* out = f.chroma_dc + (mb * 2 + ic) * 4;
+      for (int k = 0; k < 4; k++) out[k] = lv[k];
+    }
+  }
+  void store_chroma4(int mb, int ic, int blk, const int* full) {
+    if (slab_mode) {
+      int16_t* out = f.chroma_slab + slot_of(mb) * 128;
+      const int* t = slab_tabs().c4[ic * 4 + blk];
+      for (int k = 0; k < 16; k++) out[t[k]] = (int16_t)full[k];
+    } else {
+      int32_t* out = f.chroma_ac + ((mb * 2 + ic) * 4 + blk) * 16;
+      for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+    }
   }
 
   int parse_mb_cavlc(int mb);
@@ -709,10 +818,20 @@ void SliceDec::apply_pcm(int mb) {
   f.mb_kind[mb] = KIND_PCM;
   f.parsed[mb] = 1;
   r.align();
-  int32_t* y = f.luma_ac + mb * 256;
-  for (int i = 0; i < 256; i++) y[i] = (int32_t)r.read_bits(8);
-  int32_t* c = f.chroma_ac + mb * 128;
-  for (int i = 0; i < 128; i++) c[i] = (int32_t)r.read_bits(8);
+  if (slab_mode) {
+    const SlabTabs& t = slab_tabs();
+    int16_t* y = f.luma_slab + slot_of(mb) * 256;
+    for (int i = 0; i < 256; i++)
+      y[t.pcm_y[i]] = (int16_t)r.read_bits(8);
+    int16_t* c = f.chroma_slab + slot_of(mb) * 128;
+    for (int i = 0; i < 128; i++)
+      c[t.pcm_c[i]] = (int16_t)r.read_bits(8);
+  } else {
+    int32_t* y = f.luma_ac + mb * 256;
+    for (int i = 0; i < 256; i++) y[i] = (int32_t)r.read_bits(8);
+    int32_t* c = f.chroma_ac + mb * 128;
+    for (int i = 0; i < 128; i++) c[i] = (int32_t)r.read_bits(8);
+  }
   for (int i = 0; i < 16; i++) f.total_coeff_luma[mb * 16 + i] = 16;
   for (int i = 0; i < 8; i++) f.total_coeff_chroma[mb * 8 + i] = 16;
   f.cbf_luma_dc[mb] = 1;
@@ -790,8 +909,7 @@ int SliceDec::parse_mb_cavlc(int mb) {
   if (is_i16) {
     int nc = cav.nc_luma(mb, 0);
     if (cav.residual(nc, 0, 15, 16, lv) < 0) return -1;
-    int32_t* dc = f.luma_dc + mb * 16;
-    for (int k = 0; k < 16; k++) dc[kZigzag4[k]] = lv[k];
+    store_luma_dc(mb, lv);
   }
   for (int b8 = 0; b8 < 4; b8++) {
     int coded = (cbp_l >> b8) & 1;
@@ -806,10 +924,7 @@ int SliceDec::parse_mb_cavlc(int mb) {
         f.total_coeff_luma[mb * 16 + blk] = (int16_t)tc;
         for (int k = 0; k < 16; k++) lv64[4 * k + i4] = lv[k];
       }
-      if (coded) {
-        int32_t* out = f.luma8x8_coeff + (mb * 4 + b8) * 64;
-        for (int k = 0; k < 64; k++) out[kZigzag8[k]] = lv64[k];
-      }
+      if (coded) store_luma8(mb, b8, lv64);
     } else {
       for (int i4 = 0; i4 < 4; i4++) {
         int blk = b8 * 4 + i4;
@@ -826,16 +941,14 @@ int SliceDec::parse_mb_cavlc(int mb) {
           if (tc < 0) return -1;
         }
         f.total_coeff_luma[mb * 16 + blk] = (int16_t)tc;
-        int32_t* out = f.luma_ac + (mb * 16 + blk) * 16;
-        for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+        store_luma4(mb, blk, full);
       }
     }
   }
   if (cbp_c) {
     for (int ic = 0; ic < 2; ic++) {
       if (cav.residual(-1, 0, 3, 4, lv) < 0) return -1;
-      int32_t* out = f.chroma_dc + (mb * 2 + ic) * 4;
-      for (int k = 0; k < 4; k++) out[k] = lv[k];
+      store_chroma_dc(mb, ic, lv);
     }
   }
   if (cbp_c & 2) {
@@ -847,8 +960,7 @@ int SliceDec::parse_mb_cavlc(int mb) {
         f.total_coeff_chroma[(mb * 2 + ic) * 4 + blk] = (int16_t)tc;
         int full[16] = {0};
         for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
-        int32_t* out = f.chroma_ac + ((mb * 2 + ic) * 4 + blk) * 16;
-        for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+        store_chroma4(mb, ic, blk, full);
       }
     }
   }
@@ -953,8 +1065,7 @@ int SliceDec::parse_mb_cabac(int mb) {
     int cbf = cab.residual(mb, 0, 0, 0, 16, lv);
     if (r.error) return -1;
     f.cbf_luma_dc[mb] = (int8_t)cbf;
-    int32_t* dc = f.luma_dc + mb * 16;
-    for (int k = 0; k < 16; k++) dc[kZigzag4[k]] = lv[k];
+    store_luma_dc(mb, lv);
   }
   for (int b8 = 0; b8 < 4; b8++) {
     int coded = (cbp_l >> b8) & 1;
@@ -962,8 +1073,7 @@ int SliceDec::parse_mb_cabac(int mb) {
     if (transform8) {
       if (!cab.residual(mb, 5, b8, 0, 64, lv) && r.error) return -1;
       f.cbf_luma8x8[mb * 4 + b8] = 1;
-      int32_t* out = f.luma8x8_coeff + (mb * 4 + b8) * 64;
-      for (int k = 0; k < 64; k++) out[kZigzag8[k]] = lv[k];
+      store_luma8(mb, b8, lv);
     } else {
       for (int i4 = 0; i4 < 4; i4++) {
         int blk = b8 * 4 + i4;
@@ -977,8 +1087,7 @@ int SliceDec::parse_mb_cabac(int mb) {
         }
         if (r.error) return -1;
         f.cbf_luma[mb * 16 + blk] = (int8_t)cbf;
-        int32_t* out = f.luma_ac + (mb * 16 + blk) * 16;
-        for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+        store_luma4(mb, blk, full);
       }
     }
   }
@@ -987,8 +1096,7 @@ int SliceDec::parse_mb_cabac(int mb) {
       int cbf = cab.residual(mb, 3, ic, ic, 4, lv);
       if (r.error) return -1;
       f.cbf_chroma_dc[mb * 2 + ic] = (int8_t)cbf;
-      int32_t* out = f.chroma_dc + (mb * 2 + ic) * 4;
-      for (int k = 0; k < 4; k++) out[k] = lv[k];
+      store_chroma_dc(mb, ic, lv);
     }
   }
   if (cbp_c & 2) {
@@ -999,25 +1107,21 @@ int SliceDec::parse_mb_cabac(int mb) {
         f.cbf_chroma[(mb * 2 + ic) * 4 + blk] = (int8_t)cbf;
         int full[16] = {0};
         for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
-        int32_t* out = f.chroma_ac + ((mb * 2 + ic) * 4 + blk) * 16;
-        for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+        store_chroma4(mb, ic, blk, full);
       }
     }
   }
   return 0;
 }
 
-}  // namespace
-
-extern "C" {
-
 // Parse one I-slice's slice_data(); returns MBs parsed or negative error.
-// Buffer pointer order MUST match NativeFrameBufs in native/__init__.py.
-int64_t mv_parse_slice(
+// Buffer pointer order MUST match _FIELDS in native/__init__.py; in slab
+// mode three int16 slab buffers follow (luma/chroma/dc) and maxw > 0.
+static int64_t parse_slice_impl(
     const uint8_t* rbsp, int64_t rbsp_len_bytes, int64_t data_bit_offset,
     int32_t wmb, int32_t hmb, int32_t first_mb, int32_t slice_qp,
     int32_t entropy_cabac, int32_t transform8x8_mode,
-    void** bufs) {
+    void** bufs, int32_t slab_mode, int32_t maxw) {
   SliceDec d;
   d.r.data = rbsp;
   d.r.nbits = rbsp_len_bytes * 8;
@@ -1045,6 +1149,13 @@ int64_t mv_parse_slice(
   d.f.cbf_chroma = (int8_t*)bufs[i++];
   d.f.transform8x8 = (int8_t*)bufs[i++];
   d.f.parsed = (uint8_t*)bufs[i++];
+  d.slab_mode = slab_mode;
+  d.maxw = maxw;
+  if (slab_mode) {
+    d.f.luma_slab = (int16_t*)bufs[i++];
+    d.f.chroma_slab = (int16_t*)bufs[i++];
+    d.f.dc_slab = (int16_t*)bufs[i++];
+  }
 
   d.g.wmb = wmb;
   d.g.hmb = hmb;
@@ -1095,6 +1206,34 @@ int64_t mv_parse_slice(
     }
   }
   return mb - first_mb;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t mv_parse_slice(
+    const uint8_t* rbsp, int64_t rbsp_len_bytes, int64_t data_bit_offset,
+    int32_t wmb, int32_t hmb, int32_t first_mb, int32_t slice_qp,
+    int32_t entropy_cabac, int32_t transform8x8_mode,
+    void** bufs) {
+  return parse_slice_impl(rbsp, rbsp_len_bytes, data_bit_offset, wmb, hmb,
+                          first_mb, slice_qp, entropy_cabac,
+                          transform8x8_mode, bufs, 0, 0);
+}
+
+// Slab-emission variant: coefficients written as skew-slot-ordered int16
+// slab records (ops/slab.py layouts) so the device prep is one dense
+// transpose.  bufs carries the 22 classic pointers + luma/chroma/dc
+// slab pointers; maxw is skew_tables' lane width.
+int64_t mv_parse_slice_slab(
+    const uint8_t* rbsp, int64_t rbsp_len_bytes, int64_t data_bit_offset,
+    int32_t wmb, int32_t hmb, int32_t first_mb, int32_t slice_qp,
+    int32_t entropy_cabac, int32_t transform8x8_mode, int32_t maxw,
+    void** bufs) {
+  return parse_slice_impl(rbsp, rbsp_len_bytes, data_bit_offset, wmb, hmb,
+                          first_mb, slice_qp, entropy_cabac,
+                          transform8x8_mode, bufs, 1, maxw);
 }
 
 }  // extern "C"

@@ -96,13 +96,20 @@ _AC8_CLASS = np.array([3, 2, 1, 0], dtype=np.int32)
 
 @dataclass
 class PackedFrames:
-    """Batch of parsed frames sharing one MB-grid geometry."""
+    """Batch of parsed frames sharing one MB-grid geometry.
+
+    slots=False: `arrays` holds raster-order coefficient buffers
+    (luma_ac/luma8x8_coeff/chroma_ac/luma_dc/chroma_dc).  slots=True:
+    they are replaced by skew-slot-ordered int16 slab records
+    (luma_slab/chroma_slab/dc_slab; ops/slab.py layouts) as emitted by
+    the native parser's slab mode."""
     wmb: int
     hmb: int
     arrays: dict          # name -> np/jnp array, leading dim = batch
     ls4: np.ndarray       # [3, 6, 4, 4] luma/Cb/Cr intra LevelScale
     ls8: np.ndarray       # [6, 8, 8]
     chroma_qp_off: tuple  # (cb_offset, cr_offset)
+    slots: bool = False
 
     @property
     def batch(self) -> int:
@@ -212,6 +219,60 @@ def pack_frames_staged(staging: dict, frames, sps, pps) -> PackedFrames:
     return PackedFrames(wmb, hmb, arrays, ls4, ls8,
                         (pps.chroma_qp_index_offset,
                          pps.second_chroma_qp_index_offset))
+
+
+def make_slab_staging(wmb: int, hmb: int, batch: int) -> dict:
+    """Slot-ordered int16 slab staging for the native parser's slab mode
+    (one record per skew slot w*maxw + k; ops/slab.py layouts).  Like
+    make_frame_staging, np.zeros maps lazy zero pages, so padding slots
+    cost no memory traffic."""
+    from .recon_wave import skew_tables
+    g = skew_tables(wmb, hmb)
+    n_slots = g["n_waves"] * g["maxw"]
+    B = batch
+    return {
+        "luma_slab": np.zeros((B, n_slots, 256), np.int16),
+        "chroma_slab": np.zeros((B, n_slots, 128), np.int16),
+        "dc_slab": np.zeros((B, n_slots, 32), np.int16),
+        "maxw": g["maxw"],
+    }
+
+
+def pack_frames_slots(staging: dict, frames, sps, pps) -> PackedFrames:
+    """pack_frames for frames parsed via parse_slice_native_slab: the
+    coefficient slabs are the staging buffers themselves; only the small
+    per-MB metadata arrays are stacked."""
+    wmb = frames[0][0].width_mbs
+    hmb = frames[0][0].height_mbs
+    n = wmb * hmb
+
+    def stack(get):
+        return np.stack([get(fs, som) for fs, som in frames])
+
+    arrays = {
+        "mb_kind": stack(lambda fs, s: np.asarray(fs.mb_kind, np.int32)),
+        "qpy": stack(lambda fs, s: np.asarray(fs.qpy, np.int32)),
+        "i16_mode": stack(lambda fs, s: np.asarray(fs.i16_mode, np.int32)),
+        "chroma_mode": stack(
+            lambda fs, s: np.asarray(fs.chroma_mode, np.int32)),
+        "luma4x4_modes": stack(
+            lambda fs, s: np.asarray(fs.luma4x4_modes, np.int32)),
+        "luma8x8_modes": stack(
+            lambda fs, s: np.asarray(fs.luma8x8_modes, np.int32)),
+        "parsed": stack(lambda fs, s: np.asarray(fs.parsed, np.int32)),
+        "slice_id": stack(
+            lambda fs, s: np.asarray(
+                s if s is not None else np.zeros(n, np.int32), np.int32)),
+    }
+    B = len(frames)
+    for name in ("luma_slab", "chroma_slab", "dc_slab"):
+        arrays[name] = staging[name][:B]
+    ls4 = np.stack([level_scale_4x4_np(pps.scaling_list_4x4[i])
+                    for i in range(3)])
+    ls8 = level_scale_8x8_np(pps.scaling_list_8x8[0])
+    return PackedFrames(wmb, hmb, arrays, ls4, ls8,
+                        (pps.chroma_qp_index_offset,
+                         pps.second_chroma_qp_index_offset), slots=True)
 
 
 def _luma_ac_with_pcm(fs: FrameSyntax) -> np.ndarray:

@@ -1,16 +1,22 @@
 """Batch-fused single-kernel Pallas wavefront reconstruction.
 
-Evolution of ops/recon_lane_pallas.py: the batch dimension is merged
-into the LANE axis (L = B * maxw) so ONE grid step reconstructs one wave
-of EVERY frame.  At 1080p batch 16 this cuts the sequential grid from
-254 x 16 = 4064 steps to 254, amortising the per-step fixed cost 16x and
-filling the VPU lanes (61 lanes -> 976).
+The flagship TPU engine.  The batch dimension is merged into the LANE
+axis (L = B * maxw) so ONE grid step reconstructs one wave of EVERY
+frame; at 1080p batch 16 that cuts the sequential grid from 254 x 16
+steps to 254 and fills the VPU lanes (61 -> 976).
+
+Round 3: residual construction (dequant + IDCT + pixel assembly) moved
+INSIDE the kernel (ops/slab.residual_from_slabs).  The kernel consumes
+raw int16 coefficient slabs in butterfly-friendly order; the native
+parser emits them at skew-ordered slots so host prep is one dense
+transpose (slab.slot_feed) — round 2's ~122 ms/batch XLA prep pass
+(dequant+IDCT in raster layouts + a skew *gather*) is gone.
 
 Frame boundaries inside the merged lane axis only matter for the
 boundary-state rolls: lane k's state shifts to lane k+1 within a frame's
 maxw-lane segment, so the roll masks use (lane % maxw) instead of the
 global lane index; everything else in the per-wave math is lane-local
-(ops/recon_lane.wave_compute_lane, shared with the per-frame drivers and
+(ops/recon_lane.wave_compute_lane, shared with the XLA wave driver and
 bit-exact vs the numpy oracle — tests/test_recon_fused.py).
 
 Reference scope: intra prediction + reconstruction per
@@ -29,10 +35,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .recon import PackedFrames, build_residuals
+from .recon import PackedFrames
 from .recon_lane import _SEL4_T, _SEL8_T, wave_compute_lane
-from .recon_wave import pack_skewed, skew_tables, unskew_planes
-from .recon_lane_pallas import wave_schedule
+from .recon_wave import skew_tables, unskew_planes
+from . import slab as sl
+
+
+def wave_schedule(g):
+    """Per-wave lane-shift schedules (dr0, shtop) from the skew tables."""
+    n_waves = g["n_waves"]
+    r0 = g["r0"].astype(np.int64)
+    dr0 = np.diff(r0, prepend=r0[0]).astype(np.int32)
+    r0m2 = np.concatenate([r0[:1], r0[:1], r0[:-2]])
+    shtop = np.where(np.arange(n_waves) >= 2, 1 - (r0 - r0m2), 0)
+    shtop = shtop.astype(np.int32)
+    assert set(np.unique(dr0)) <= {0, 1}
+    assert set(np.unique(shtop)) <= {0, 1}
+    return dr0, shtop
 
 
 def _seg_masks(maxw, batch):
@@ -59,17 +78,20 @@ def _roll_left_seg(x, mask, L):
 
 
 def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
-                 meta_ref, resl_ref, resc_ref,
+                 meta_ref, coefl_ref, coefc_ref, dcs_ref,
+                 t4_ref, t8_ref, tcb_ref, tcr_ref,
+                 p4_ref, p8_ref, pc_ref, hh16_ref, hh8c_ref,
                  s4m_ref, s4r_ref, s4s_ref, s8m_ref, s8r_ref, s8s_ref,
                  outy_ref, outc_ref,
                  row_y, row_c, botA_y, botB_y, botA_c, botB_c, tile_scr,
                  *, maxw, L):
     """Grid (w,): one wave of all B frames; dr0s/shtop scalar-prefetched.
 
-    Blocks: meta [1, 32, L] i32; resl [1, 256, L]; resc [1, 128, L];
-    outy [1, 256, L]; outc [1, 128, L].  Scratch: row_y/row_c [24, L]
-    (rows 0-15 right column, 16(/17) corner(s), rest pad), botA_*/botB_*
-    [16, L] (previous / previous-2 wave bottom rows), tile_scr [256, L].
+    Blocks: meta [1, META_ROWS, L] i32; coefl [1, 256, L] i16 coefficient
+    slabs; coefc [1, 128, L] i16; dcs [1, 32, L] i16; outy [1, 256, L]
+    u8; outc [1, 128, L] u8.  Scratch: row_y/row_c [24, L] (rows 0-15
+    right column, 16(/17) corner(s), rest pad), botA_*/botB_* [16, L]
+    (previous / previous-2 wave bottom rows), tile_scr [256, L].
     """
     w = pl.program_id(0)
 
@@ -107,7 +129,7 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
     bBc = botB_c[...]
     top_c = jnp.where(shtop == 1, _roll_left_seg(bBc, ml, L), bBc)
 
-    meta = meta_ref[0]                               # [32, L]
+    meta = meta_ref[0]                               # [META_ROWS, L]
     kind = meta[0:1]
     parsed = meta[1:2]
     al = meta[2:3] > 0
@@ -119,10 +141,18 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
     modes8 = meta[8:12]
     modes4 = meta[12:28]
 
+    # ---- in-kernel residual construction ----------------------------------
+    res_luma, res_chroma = sl.residual_from_slabs(
+        coefl_ref[0].astype(jnp.int32), coefc_ref[0].astype(jnp.int32),
+        dcs_ref[0].astype(jnp.int32), meta,
+        t4_ref[...], t8_ref[...], tcb_ref[...], tcr_ref[...],
+        p4_ref[...], p8_ref[...], pc_ref[...],
+        hh16_ref[...], hh8c_ref[...])
+
     tile, ctile = wave_compute_lane(
         left_col, corner, top_row, tr_row, left_c, corner_cb, corner_cr,
         top_c, kind, al, at, atl, atr, parsed, modes4, modes8,
-        i16_mode, cmode, resl_ref[0], resc_ref[0],
+        i16_mode, cmode, res_luma, res_chroma,
         sel4=(s4m_ref[...], s4r_ref[...], s4s_ref[...]),
         sel8=(s8m_ref[...], s8r_ref[...], s8s_ref[...]),
         tile_ref=tile_scr)
@@ -166,9 +196,19 @@ def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, L), lambda w, *_: (0, 0)),
             pl.BlockSpec((1, L), lambda w, *_: (0, 0)),
-            pl.BlockSpec((1, 32, L), lambda w, *_: (w, 0, 0)),
+            pl.BlockSpec((1, sl.META_ROWS, L), lambda w, *_: (w, 0, 0)),
             pl.BlockSpec((1, 256, L), lambda w, *_: (w, 0, 0)),
             pl.BlockSpec((1, 128, L), lambda w, *_: (w, 0, 0)),
+            pl.BlockSpec((1, sl.DC_ROWS, L), lambda w, *_: (w, 0, 0)),
+            pl.BlockSpec((256, 6), lambda w, *_: (0, 0)),
+            pl.BlockSpec((256, 6), lambda w, *_: (0, 0)),
+            pl.BlockSpec((128, 6), lambda w, *_: (0, 0)),
+            pl.BlockSpec((128, 6), lambda w, *_: (0, 0)),
+            pl.BlockSpec((256, 256), lambda w, *_: (0, 0)),
+            pl.BlockSpec((256, 256), lambda w, *_: (0, 0)),
+            pl.BlockSpec((128, 128), lambda w, *_: (0, 0)),
+            pl.BlockSpec((16, 16), lambda w, *_: (0, 0)),
+            pl.BlockSpec((8, 8), lambda w, *_: (0, 0)),
             pl.BlockSpec((144, 13), lambda w, *_: (0, 0)),
             pl.BlockSpec((144,), lambda w, *_: (0,)),
             pl.BlockSpec((144,), lambda w, *_: (0,)),
@@ -202,162 +242,6 @@ def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False):
     )
 
 
-def build_slabs(arrays, ls4, ls8, cb_off, cr_off, g, batch):
-    """Residual build + skew pack in ONE lane-major pass.
-
-    Replaces build_residuals + pack_skewed + the wave-major transposes:
-    those materialized a dozen intermediates in [..., 4, 4] / [..., 16,
-    16] layouts whose tiny minor dims tile catastrophically on TPU
-    (measured ~5x bandwidth tax).  Here every tensor keeps a large
-    minor dimension: coefficients go comp-first ([4, 4, N] with N = all
-    blocks on lanes) for dequant+IDCT, are assembled into pixel rows
-    [256, B, n] by one multi-dim transpose, and skewed into the kernel's
-    wave-major slabs [W, S, B*maxw] by one gather.  Bit-identical to the
-    old path (tests/test_recon_fused.py::test_build_slabs_equals_old).
-    """
-    from .transform import (dequant_4x4_t, dequant_8x8_t, idct_4x4_t,
-                            idct_8x8_t, luma_dc_transform,
-                            chroma_dc_transform)
-    from .recon import _QPC_TAB
-    from ..models.h264.syntax import (KIND_I4x4, KIND_I8x8, KIND_I16x16,
-                                      KIND_IPCM)
-
-    wmb, hmb = g["wmb"], g["hmb"]
-    n = wmb * hmb
-    B = batch
-    n_waves, maxw = g["skew_idx"].shape
-    L = B * maxw
-    kind = arrays["mb_kind"]                       # [B, n]
-    qp = arrays["qpy"]
-    ls4 = jnp.asarray(ls4)
-    ls8 = jnp.asarray(ls8)
-
-    # ---- luma 4x4 blocks (i4 + i16), comp-first ---------------------------
-    lac = arrays["luma_ac"].astype(jnp.int32)
-    c4t = lac.reshape(B * n * 16, 16).T.reshape(4, 4, B * n * 16)
-    qp16 = jnp.broadcast_to(qp[..., None], (B, n, 16)).reshape(-1)
-    d4t = dequant_4x4_t(c4t, qp16, ls4[0])
-    # Intra16x16 DC: hadamard'd DC replaces each block's [0, 0]
-    dc = luma_dc_transform(arrays["luma_dc"], qp, ls4[0])      # [B, n, 4, 4]
-    # decode-order blocks: (y8, x8, y4, x4); dc grid is (2y8+y4, 2x8+x4)
-    dc_blk = dc.reshape(B, n, 2, 2, 2, 2).transpose(
-        0, 1, 2, 4, 3, 5).reshape(-1)                          # [B*n*16]
-    is16_blk = jnp.broadcast_to(
-        (kind == KIND_I16x16)[..., None], (B, n, 16)).reshape(-1)
-    d4t = d4t.at[0, 0].set(jnp.where(is16_blk, dc_blk, d4t[0, 0]))
-    r4t = idct_4x4_t(d4t)                                      # [4, 4, N]
-
-    # ---- luma 8x8 blocks ----------------------------------------------------
-    l8 = arrays["luma8x8_coeff"].astype(jnp.int32)
-    c8t = l8.reshape(B * n * 4, 64).T.reshape(8, 8, B * n * 4)
-    qp4 = jnp.broadcast_to(qp[..., None], (B, n, 4)).reshape(-1)
-    r8t = idct_8x8_t(dequant_8x8_t(c8t, qp4, ls8))             # [8, 8, N8]
-
-    # ---- assemble luma pixel rows T [256, B, n] ----------------------------
-    # rows = (y8, y4, py), cols = (x8, x4, px)  (recon.py _assemble_16x16)
-    t4 = r4t.reshape(4, 4, B, n, 2, 2, 2, 2).transpose(
-        4, 6, 0, 5, 7, 1, 2, 3).reshape(256, B, n)
-    # 8x8 blocks raster (r, c): rows (r, py), cols (c, px)
-    t8 = r8t.reshape(8, 8, B, n, 2, 2).transpose(
-        4, 0, 5, 1, 2, 3).reshape(256, B, n)
-    pcm_t = lac.reshape(B, n, 256).transpose(2, 0, 1)
-    is8 = (kind == KIND_I8x8)[None]
-    ispcm = (kind == KIND_IPCM)[None]
-    T = jnp.where(is8, t8, t4)
-    T = jnp.where(ispcm, pcm_t, T)
-
-    # ---- chroma -------------------------------------------------------------
-    cac = arrays["chroma_ac"].astype(jnp.int32)               # [B,n,2,4,4,4]
-    cct = cac.reshape(B * n * 8, 16).T.reshape(4, 4, B * n * 8)
-    qpc = jnp.stack(
-        [_QPC_TAB[jnp.clip(qp + cb_off, 0, 51)],
-         _QPC_TAB[jnp.clip(qp + cr_off, 0, 51)]], axis=-1)    # [B, n, 2]
-    qpc8 = jnp.broadcast_to(qpc[..., None], (B, n, 2, 4)).reshape(-1)
-    # per-component LevelScale: ls4[1] (Cb) / ls4[2] (Cr) selected lane-wise
-    m6 = qpc8 % 6
-    ic_of = jnp.broadcast_to(
-        jnp.arange(2)[None, None, :, None], (B, n, 2, 4)).reshape(-1)
-    scale_cb = jnp.moveaxis(ls4[1], 0, -1)[:, :, m6]           # [4, 4, N]
-    scale_cr = jnp.moveaxis(ls4[2], 0, -1)[:, :, m6]
-    scale = jnp.where(ic_of == 0, scale_cb, scale_cr)
-    div = qpc8 // 6
-    rnd = jnp.where(div < 4, 1 << jnp.maximum(3 - div, 0), 0)
-    hi = (cct * scale) << jnp.maximum(div - 4, 0)
-    lo = (cct * scale + rnd) >> jnp.maximum(4 - div, 0)
-    dcht = jnp.where(qpc8 >= 24, hi, lo)
-    # chroma DC per component (2x2 hadamard), block order = 2x2 raster
-    dcc = jnp.stack(
-        [chroma_dc_transform(arrays["chroma_dc"][:, :, ic],
-                             qpc[..., ic], ls4[1 + ic])
-         for ic in range(2)], axis=2)                          # [B,n,2,2,2]
-    dcc_blk = dcc.reshape(-1)                                  # (b,m,ic,blk)
-    dcht = dcht.at[0, 0].set(dcc_blk)
-    rc4 = idct_4x4_t(dcht)                                     # [4,4,B*n*8]
-    # chroma rows: sublane = ic*64 + 8*y + x; blocks raster (br, bc)
-    tc = rc4.reshape(4, 4, B, n, 2, 2, 2).transpose(
-        4, 5, 0, 6, 1, 2, 3).reshape(128, B, n)
-    pcm_ct = cac.reshape(B, n, 128).transpose(2, 0, 1)
-    Tc = jnp.where(ispcm, pcm_ct, tc)
-
-    # ---- availability flags + meta [32, B, n] ------------------------------
-    parsed = arrays["parsed"] > 0
-    sid = arrays["slice_id"]
-    mm = jnp.arange(n)
-    r = mm // wmb
-    c = mm % wmb
-
-    def ok(dm, cond):
-        mmc = jnp.clip(mm + dm, 0, n - 1)
-        return (cond[None] & parsed[:, mmc]
-                & (sid[:, mmc] == sid)).astype(jnp.int32)
-
-    al = ok(-1, c > 0)
-    at = ok(-wmb, r > 0)
-    atl = ok(-wmb - 1, (c > 0) & (r > 0))
-    atr = ok(-wmb + 1, (c < wmb - 1) & (r > 0))
-    meta = jnp.concatenate([
-        kind[None], parsed.astype(jnp.int32)[None],
-        al[None], at[None], atl[None], atr[None],
-        arrays["i16_mode"][None], arrays["chroma_mode"][None],
-        arrays["luma8x8_modes"].transpose(2, 0, 1),
-        arrays["luma4x4_modes"].transpose(2, 0, 1),
-        jnp.zeros((4, B, n), jnp.int32),
-    ], axis=0)                                                 # [32, B, n]
-
-    # ---- skew everything to wave-major lane-major slabs --------------------
-    flat = jnp.asarray(g["skew_idx"].reshape(-1))
-    valid = jnp.asarray(g["skew_valid"].reshape(-1).astype(np.int32))
-
-    def skew(x, S):
-        xs = x[:, :, flat]                                     # [S, B, W*maxw]
-        return xs.reshape(S, B, n_waves, maxw).transpose(
-            2, 0, 1, 3).reshape(n_waves, S, L)
-
-    meta_s = skew(meta, 32)
-    # parsed row also gates padded skew lanes (pack_skewed meta[..., 1])
-    vmask = jnp.broadcast_to(
-        valid.reshape(n_waves, 1, maxw),
-        (n_waves, B, maxw)).reshape(n_waves, 1, L)
-    meta_s = meta_s.at[:, 1:2].set(meta_s[:, 1:2] * vmask)
-    resl = skew(T, 256)
-    resc = skew(Tc, 128)
-    return meta_s, resl, resc
-
-
-def pack_fused(arrays, res, g, batch):
-    """pack_skewed output -> wave-major slabs with lanes = B * maxw."""
-    n_waves, maxw = g["skew_idx"].shape
-    B = batch
-    sk0 = pack_skewed(arrays, res, g)
-    # [B, W, maxw, S] -> [W, S, B*maxw]
-    meta = sk0["meta"].transpose(1, 3, 0, 2).reshape(n_waves, 32, B * maxw)
-    resl = sk0["res_luma"].reshape(B, n_waves, maxw, 256).transpose(
-        1, 3, 0, 2).reshape(n_waves, 256, B * maxw)
-    resc = sk0["res_chroma"].reshape(B, n_waves, maxw, 128).transpose(
-        1, 3, 0, 2).reshape(n_waves, 128, B * maxw)
-    return meta, resl, resc
-
-
 def unskew_fused(out_y, out_c, g, batch):
     """[W, 256|128, B*maxw] -> (Y, Cb, Cr) raster planes [B, H, W]."""
     n_waves, maxw = g["skew_idx"].shape
@@ -368,27 +252,67 @@ def unskew_fused(out_y, out_c, g, batch):
                          oc.reshape(B, n_waves, maxw, 16, 8), g)
 
 
+def _kernel_call(kernel, g, batch, meta_s, coefl_s, coefc_s, dcs_s,
+                 ls4, ls8):
+    """Shared tail: constants + kernel + unskew."""
+    dr0, shtop = wave_schedule(g)
+    mr_np, ml_np = _seg_masks(g["maxw"], batch)
+    t4, t8, tcb, tcr = sl.scale_tables(ls4, ls8)
+    out_y, out_c = kernel(
+        jnp.asarray(dr0), jnp.asarray(shtop),
+        jnp.asarray(mr_np), jnp.asarray(ml_np),
+        meta_s, coefl_s, coefc_s, dcs_s,
+        t4, t8, tcb, tcr,
+        jnp.asarray(sl.P4), jnp.asarray(sl.P8), jnp.asarray(sl.PC),
+        jnp.asarray(sl.HH16), jnp.asarray(sl.HH8C),
+        jnp.asarray(_SEL4_T[0]), jnp.asarray(_SEL4_T[1]),
+        jnp.asarray(_SEL4_T[2]), jnp.asarray(_SEL8_T[0]),
+        jnp.asarray(_SEL8_T[1]), jnp.asarray(_SEL8_T[2]))
+    return unskew_fused(out_y, out_c, g, batch)
+
+
 def make_reconstruct_fused(wmb: int, hmb: int, batch: int,
                            interpret: bool = False):
-    """Build a jitted reconstructor (fixed geometry AND batch size)."""
+    """Jitted reconstructor over RASTER-order PackedFrames arrays (the
+    Python-parser / test path: coefficient slabs are assembled and
+    skewed on device)."""
     g = skew_tables(wmb, hmb)
     g["wmb"], g["hmb"] = wmb, hmb
-    dr0, shtop = wave_schedule(g)
     kernel = _build_kernel(wmb, hmb, batch, interpret)
-    dr0j = jnp.asarray(dr0)
-    shtopj = jnp.asarray(shtop)
-    mr_np, ml_np = _seg_masks(g["maxw"], batch)
-    mrj, mlj = jnp.asarray(mr_np), jnp.asarray(ml_np)
 
     def recon(arrays, ls4, ls8, cb_off, cr_off):
-        meta, resl, resc = build_slabs(arrays, ls4, ls8, cb_off, cr_off,
-                                       g, batch)
-        out_y, out_c = kernel(
-            dr0j, shtopj, mrj, mlj, meta, resl, resc,
-            jnp.asarray(_SEL4_T[0]), jnp.asarray(_SEL4_T[1]),
-            jnp.asarray(_SEL4_T[2]), jnp.asarray(_SEL8_T[0]),
-            jnp.asarray(_SEL8_T[1]), jnp.asarray(_SEL8_T[2]))
-        return unskew_fused(out_y, out_c, g, batch)
+        luma, chroma, dcs = sl.slabs_from_raster(arrays)
+        meta = sl.meta_raster(arrays, cb_off, cr_off, wmb, hmb)
+        meta_s = sl.vmask_feed(sl.skew_feed(meta, g, batch), g, batch)
+        coefl_s = sl.skew_feed_slab(luma, g, batch).astype(jnp.int16)
+        coefc_s = sl.skew_feed_slab(chroma, g, batch).astype(jnp.int16)
+        dcs_s = sl.skew_feed_slab(dcs, g, batch).astype(jnp.int16)
+        return _kernel_call(kernel, g, batch, meta_s, coefl_s, coefc_s,
+                            dcs_s, ls4, ls8)
+
+    return jax.jit(recon)
+
+
+def make_reconstruct_fused_slots(wmb: int, hmb: int, batch: int,
+                                 interpret: bool = False):
+    """Jitted reconstructor over slot-ordered slab staging (the native
+    parser path): luma_slab [B, n_waves*maxw, 256] i16, chroma_slab
+    [B, ., 128] i16, dc_slab [B, ., 32] i16, plus raster small arrays
+    for the meta rows.  Host prep on device = one dense transpose per
+    slab (slab.slot_feed); no gathers."""
+    g = skew_tables(wmb, hmb)
+    g["wmb"], g["hmb"] = wmb, hmb
+    kernel = _build_kernel(wmb, hmb, batch, interpret)
+
+    def recon(arrays, luma_slab, chroma_slab, dc_slab,
+              ls4, ls8, cb_off, cr_off):
+        meta = sl.meta_raster(arrays, cb_off, cr_off, wmb, hmb)
+        meta_s = sl.vmask_feed(sl.skew_feed(meta, g, batch), g, batch)
+        coefl_s = sl.slot_feed(luma_slab, g, batch, jnp.int16)
+        coefc_s = sl.slot_feed(chroma_slab, g, batch, jnp.int16)
+        dcs_s = sl.slot_feed(dc_slab, g, batch, jnp.int16)
+        return _kernel_call(kernel, g, batch, meta_s, coefl_s, coefc_s,
+                            dcs_s, ls4, ls8)
 
     return jax.jit(recon)
 
@@ -397,12 +321,25 @@ _CACHE = {}
 
 
 def reconstruct_frames_fused(packed: PackedFrames, interpret=False):
-    key = (packed.wmb, packed.hmb, packed.batch, interpret)
+    """Decode a PackedFrames batch with the fused engine; dispatches on
+    packed.slots (native slab staging vs raster arrays)."""
+    key = (packed.wmb, packed.hmb, packed.batch, packed.slots, interpret)
+    cb_off, cr_off = packed.chroma_qp_off
+    if packed.slots:
+        if key not in _CACHE:
+            _CACHE[key] = make_reconstruct_fused_slots(
+                packed.wmb, packed.hmb, packed.batch, interpret)
+        small = {k: jnp.asarray(v) for k, v in packed.arrays.items()
+                 if not k.endswith("_slab")}
+        return _CACHE[key](
+            small, jnp.asarray(packed.arrays["luma_slab"]),
+            jnp.asarray(packed.arrays["chroma_slab"]),
+            jnp.asarray(packed.arrays["dc_slab"]),
+            jnp.asarray(packed.ls4), jnp.asarray(packed.ls8),
+            cb_off, cr_off)
     if key not in _CACHE:
         _CACHE[key] = make_reconstruct_fused(
             packed.wmb, packed.hmb, packed.batch, interpret)
-    fn = _CACHE[key]
     arrays = {k: jnp.asarray(v) for k, v in packed.arrays.items()}
-    cb_off, cr_off = packed.chroma_qp_off
-    return fn(arrays, jnp.asarray(packed.ls4), jnp.asarray(packed.ls8),
-              cb_off, cr_off)
+    return _CACHE[key](arrays, jnp.asarray(packed.ls4),
+                       jnp.asarray(packed.ls8), cb_off, cr_off)

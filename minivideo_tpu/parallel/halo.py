@@ -31,10 +31,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.recon import PackedFrames, build_residuals
-from ..ops.recon_lane import _SEL4_T, _SEL8_T, wave_compute_lane
-from ..ops.recon_fused import pack_fused, unskew_fused, wave_schedule
+from ..ops.recon import PackedFrames
+from ..ops.recon_lane import wave_compute_lane
+from ..ops.recon_fused import unskew_fused, wave_schedule
 from ..ops.recon_wave import skew_tables
+from ..ops import slab as sl
 
 
 def _roll_right_halo(x, axis):
@@ -56,13 +57,18 @@ def _roll_left_halo(x, axis):
     return jnp.concatenate([x[:, 1:], recv], axis=1)
 
 
-def _wave_loop(dr0s, shtops, mr, ml, meta, resl, resc, *, n_waves, axis):
+def _wave_loop(dr0s, shtops, mr, ml, meta, coefl, coefc, dcs,
+               t4, t8, tcb, tcr, p4, p8, pc, hh16, hh8c,
+               *, n_waves, axis):
     """The full wave loop on one frame, lane axis sharded over `axis`.
 
-    meta [W, 32, l]; resl [W, 256, l]; resc [W, 128, l] where l is the
-    per-device lane strip; mr/ml [1, l] are the frame-segment roll masks
+    meta [W, META_ROWS, l]; coefl [W, 256, l] / coefc [W, 128, l] /
+    dcs [W, 32, l] int16 coefficient slabs, where l is the per-device
+    lane strip; mr/ml [1, l] are the frame-segment roll masks
     (recon_fused._seg_masks strips).  Functional mirror of
-    recon_fused._wave_kernel with the rolls replaced by halo rolls."""
+    recon_fused._wave_kernel — including the in-kernel residual
+    construction, which is lane-local and shards unchanged — with the
+    boundary-state rolls replaced by halo rolls."""
     l = meta.shape[-1]
     zeros = lambda s: jnp.zeros((s, l), jnp.int32)     # noqa: E731
     state0 = (zeros(24), zeros(24), zeros(16), zeros(16),
@@ -90,11 +96,15 @@ def _wave_loop(dr0s, shtops, mr, ml, meta, resl, resc, *, n_waves, axis):
         top_c = jnp.where(shtop == 1, rolll(botB_c), botB_c)
 
         m = meta[w]
+        res_luma, res_chroma = sl.residual_from_slabs(
+            coefl[w].astype(jnp.int32), coefc[w].astype(jnp.int32),
+            dcs[w].astype(jnp.int32), m,
+            t4, t8, tcb, tcr, p4, p8, pc, hh16, hh8c)
         tile, ctile = wave_compute_lane(
             ry[:16], ry[16:17], top_row, tr_row, rc[:16], rc[16:17],
             rc[17:18], top_c, m[0:1], m[2:3] > 0, m[3:4] > 0,
             m[4:5] > 0, m[5:6] > 0, m[1:2], m[12:28], m[8:12],
-            m[6:7], m[7:8], resl[w], resc[w])
+            m[6:7], m[7:8], res_luma, res_chroma)
 
         out_y = out_y.at[w].set(tile)
         out_c = out_c.at[w].set(ctile)
@@ -145,19 +155,29 @@ def make_reconstruct_halo(wmb: int, hmb: int, batch: int, mesh: Mesh,
     mr_np, ml_np = _seg_masks(maxw, batch)
     mrj, mlj = jnp.asarray(mr_np), jnp.asarray(ml_np)
 
+    lane_slab = P(None, None, axis)
     loop = shard_map(
         partial(_wave_loop, n_waves=n_waves, axis=axis),
         mesh=mesh,
         in_specs=(P(), P(), P(None, axis), P(None, axis),
-                  P(None, None, axis), P(None, None, axis),
-                  P(None, None, axis)),
-        out_specs=(P(None, None, axis), P(None, None, axis)),
+                  lane_slab, lane_slab, lane_slab, lane_slab,
+                  P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(lane_slab, lane_slab),
         check_vma=False)
 
     def recon(arrays, ls4, ls8, cb_off, cr_off):
-        res = build_residuals(arrays, ls4, ls8, cb_off, cr_off)
-        meta, resl, resc = pack_fused(arrays, res, g, batch)
-        out_y, out_c = loop(dr0j, shtopj, mrj, mlj, meta, resl, resc)
+        luma, chroma, dcs = sl.slabs_from_raster(arrays)
+        meta = sl.meta_raster(arrays, cb_off, cr_off, wmb, hmb)
+        meta_s = sl.vmask_feed(sl.skew_feed(meta, g, batch), g, batch)
+        coefl_s = sl.skew_feed_slab(luma, g, batch).astype(jnp.int16)
+        coefc_s = sl.skew_feed_slab(chroma, g, batch).astype(jnp.int16)
+        dcs_s = sl.skew_feed_slab(dcs, g, batch).astype(jnp.int16)
+        t4, t8, tcb, tcr = sl.scale_tables(ls4, ls8)
+        out_y, out_c = loop(
+            dr0j, shtopj, mrj, mlj, meta_s, coefl_s, coefc_s, dcs_s,
+            t4, t8, tcb, tcr,
+            jnp.asarray(sl.P4), jnp.asarray(sl.P8), jnp.asarray(sl.PC),
+            jnp.asarray(sl.HH16), jnp.asarray(sl.HH8C))
         return unskew_fused(out_y, out_c, g, batch)
 
     return jax.jit(recon)

@@ -58,33 +58,13 @@ def test_fused_multi_slice():
     _compare_fused(data)
 
 
-def test_build_slabs_equals_old_path():
-    """The one-pass lane-major prep (build_slabs) is bit-identical to
-    build_residuals + pack_fused for every MB kind incl. PCM."""
-    import jax.numpy as jnp
-    from minivideo_tpu.ops.recon import build_residuals
-    from minivideo_tpu.ops.recon_fused import build_slabs, pack_fused
-    from minivideo_tpu.ops.recon_wave import skew_tables
-
+def test_fused_all_kinds_mixed():
+    """All four MB kinds (incl. PCM and 8x8) through the in-kernel
+    residual path in one stream."""
     data = make_stream(width_mbs=5, height_mbs=4, n_pictures=3, seed=55,
                        mb_kinds=("i16", "i4", "i8"), density=0.45,
                        transform_8x8=True, allow_pcm=True)
-    frames, sps, pps = _parse_stream(data)
-    packed = pack_frames(frames, sps, pps)
-    g = skew_tables(packed.wmb, packed.hmb)
-    g["wmb"], g["hmb"] = packed.wmb, packed.hmb
-    arrays = {k: jnp.asarray(v) for k, v in packed.arrays.items()}
-    cb, cr = packed.chroma_qp_off
-    res = build_residuals(arrays, packed.ls4, packed.ls8, cb, cr)
-    m0, l0, c0 = pack_fused(arrays, res, g, packed.batch)
-    m1, l1, c1 = build_slabs(arrays, packed.ls4, packed.ls8, cb, cr,
-                             g, packed.batch)
-    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
-    # residual slabs compared only on parsed lanes (padded skew lanes
-    # gather from MB 0 in both paths but PCM substitution differs there)
-    pl = np.asarray(m0)[:, 1:2] > 0
-    np.testing.assert_array_equal(np.asarray(l0) * pl, np.asarray(l1) * pl)
-    np.testing.assert_array_equal(np.asarray(c0) * pl, np.asarray(c1) * pl)
+    _compare_fused(data)
 
 
 def test_fused_single_frame_and_odd_geometry():
