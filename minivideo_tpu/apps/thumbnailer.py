@@ -40,8 +40,11 @@ def main(argv=None) -> int:
                    help="number of pictures to export (1-999)")
     p.add_argument("-e", dest="mode", default="unfiltered",
                    choices=sorted(_MODE), help="picture extraction mode")
-    p.add_argument("--engine", default="np", choices=("np", "jax"),
-                   help="reconstruction engine (np: host oracle, jax: TPU)")
+    p.add_argument("--engine", default="np",
+                   choices=("np", "jax", "fused", "wave"),
+                   help="reconstruction engine (np: host oracle; jax: "
+                        "production auto — fused Pallas kernel on TPU, "
+                        "XLA wave driver on CPU; fused/wave: force)")
     args = p.parse_args(argv)
 
     if not os.path.isfile(args.input):

@@ -26,6 +26,23 @@ from .cabac import CabacSliceParser
 MAX_CONSECUTIVE_ERRORS = 64  # reference: h264.c:181-187
 
 
+def resolve_engine(engine: str) -> str:
+    """Map the user-facing engine name to a concrete backend.
+
+    "jax" is the production alias: the fused Pallas kernel on TPU, the
+    XLA wave driver on CPU backends (where Pallas would need interpret
+    mode).  "fused"/"wave"/"np" force a specific engine
+    (settings.ENGINES)."""
+    if engine != "jax":
+        return engine
+    try:
+        import jax
+        platform = jax.devices()[0].platform
+    except Exception:                      # noqa: BLE001 — no backend
+        return "np"
+    return "wave" if platform == "cpu" else "fused"
+
+
 @dataclass
 class DecodedPicture:
     """One decoded IDR picture: 4:2:0 planes + display crop."""
@@ -129,12 +146,22 @@ class H264Decoder:
 
     def _decode_idr(self, nalus):
         fs, sps, pps, slice_of_mb = self.parse_idr_syntax(nalus)
-        if self.engine == "jax":
+        engine = resolve_engine(self.engine)
+        if engine != "np":
             from ...ops.recon import pack_frames
-            from ...ops.recon_wave import reconstruct_frames_wave
+            from ...settings import ensure_compile_cache
             import numpy as _np
+            ensure_compile_cache()
             packed = pack_frames([(fs, slice_of_mb)], sps, pps)
-            yb, cbb, crb = reconstruct_frames_wave(packed)
+            if engine == "fused":
+                from ...ops.recon_fused import reconstruct_frames_fused
+                import jax as _jax
+                interp = _jax.devices()[0].platform == "cpu"
+                yb, cbb, crb = reconstruct_frames_fused(packed,
+                                                        interpret=interp)
+            else:
+                from ...ops.recon_wave import reconstruct_frames_wave
+                yb, cbb, crb = reconstruct_frames_wave(packed)
             y, cb, cr = (_np.asarray(yb[0]), _np.asarray(cbb[0]),
                          _np.asarray(crb[0]))
         else:

@@ -49,6 +49,22 @@ struct BitReader {
     }
     return (v >> (32 - sh - n)) & ((n == 32 ? 0u : (1u << n)) - 1u);
   }
+  // 32-bit aligned-window peek for the CABAC refill (zero-padded)
+  inline uint32_t peek_bits32() const {
+    int64_t byte = pos >> 3;
+    int sh = (int)(pos & 7);
+    int64_t nbytes = (nbits + 7) >> 3;
+    uint64_t v;
+    if (byte + 8 <= nbytes) {
+      std::memcpy(&v, data + byte, 8);
+      v = __builtin_bswap64(v);
+    } else {
+      v = 0;
+      for (int i = 0; i < 8; i++)
+        v = (v << 8) | (byte + i < nbytes ? data[byte + i] : 0);
+    }
+    return (uint32_t)(v >> (32 - sh));
+  }
   // fast multi-bit read (n <= 24); error semantics match bitwise reads
   inline uint32_t read_bits_f(int n) {
     uint32_t v = peek_bits(n);
@@ -230,7 +246,26 @@ static const SlabTabs& slab_tabs() {
 
 struct Geo {
   int wmb, hmb, first_mb;
-  void mb_neighbors(int mb, int* a, int* b) const {
+  // current-MB cache: every neighbor derivation during macroblock parse
+  // refers to the MB being parsed, so the x/y division and the skew
+  // slot are computed ONCE per MB (set_current) instead of per call —
+  // the per-call `mb % wmb` divisions were measurable in the bin loop.
+  int cur_mb = -1, cur_x = 0, cur_y = 0, cur_a = -1, cur_b = -1;
+  int64_t cur_slot = 0;
+  void set_current(int mb, int maxw) {
+    cur_mb = mb;
+    cur_x = mb % wmb;
+    cur_y = mb / wmb;
+    cur_a = (cur_x > 0) ? mb - 1 : -1;
+    cur_b = (cur_y > 0) ? mb - wmb : -1;
+    if (cur_a < first_mb) cur_a = -1;
+    if (cur_b < first_mb) cur_b = -1;
+    int w = 2 * cur_y + cur_x;
+    int r0w = w / 2 < hmb - 1 ? w / 2 : hmb - 1;
+    cur_slot = (int64_t)w * maxw + (r0w - cur_y);
+  }
+  inline void mb_neighbors(int mb, int* a, int* b) const {
+    if (mb == cur_mb) { *a = cur_a; *b = cur_b; return; }
     int x = mb % wmb, y = mb / wmb;
     *a = (x > 0) ? mb - 1 : -1;
     *b = (y > 0) ? mb - wmb : -1;
@@ -306,12 +341,12 @@ struct Geo {
 // intra mode prediction (port of IntraModeResolver)
 struct ModePred {
   const FrameBufs* f;
-  Geo g;
+  const Geo* g;
   int pred4(int mb, int blk) const {
     int preds[2];
     for (int which = 0; which < 2; which++) {
       int mb_n, blk_n;
-      if (!g.luma4_nbr(mb, blk, which, &mb_n, &blk_n)
+      if (!g->luma4_nbr(mb, blk, which, &mb_n, &blk_n)
           || !f->parsed[mb_n]) { preds[which] = -1; continue; }
       int k = f->mb_kind[mb_n];
       if (k == KIND_I4) preds[which] = f->luma4x4_modes[mb_n * 16 + blk_n];
@@ -326,7 +361,7 @@ struct ModePred {
     int preds[2];
     for (int which = 0; which < 2; which++) {
       int mb_n, blk_n;
-      if (!g.luma8_nbr(mb, blk8, which, &mb_n, &blk_n)
+      if (!g->luma8_nbr(mb, blk8, which, &mb_n, &blk_n)
           || !f->parsed[mb_n]) { preds[which] = -1; continue; }
       int k = f->mb_kind[mb_n];
       if (k == KIND_I8) preds[which] = f->luma8x8_modes[mb_n * 4 + blk_n];
@@ -346,14 +381,14 @@ struct ModePred {
 struct CavlcCtx {
   BitReader* r;
   FrameBufs* f;
-  Geo g;
+  const Geo* g;
   int64_t stop_bit;
 
   int nc_luma(int mb, int blk) const {
     int ns[2];
     for (int which = 0; which < 2; which++) {
       int mb_n, blk_n;
-      if (!g.luma4_nbr(mb, blk, which, &mb_n, &blk_n)
+      if (!g->luma4_nbr(mb, blk, which, &mb_n, &blk_n)
           || !f->parsed[mb_n]) { ns[which] = -1; continue; }
       if (f->mb_kind[mb_n] == KIND_PCM) ns[which] = 16;
       else ns[which] = f->total_coeff_luma[mb_n * 16 + blk_n];
@@ -365,7 +400,7 @@ struct CavlcCtx {
     int ns[2];
     for (int which = 0; which < 2; which++) {
       int mb_n, blk_n;
-      if (!g.chroma4_nbr(mb, blk, which, &mb_n, &blk_n)
+      if (!g->chroma4_nbr(mb, blk, which, &mb_n, &blk_n)
           || !f->parsed[mb_n]) { ns[which] = -1; continue; }
       if (f->mb_kind[mb_n] == KIND_PCM) ns[which] = 16;
       else ns[which] = f->total_coeff_chroma[(mb_n * 2 + ic) * 4 + blk_n];
@@ -504,10 +539,13 @@ struct CabacEngine {
     }
   }
   inline void refill() {
-    if (S <= 24) {
-      low = (low << 16) | r->peek_bits(16);
-      r->pos += 16;                    // prefetch (zero-padded past EOF)
-      S += 16;
+    // 32-bit refills: offset(9b) + S(<=55) stays within uint64
+    // (510 << 55 < 2^64); halves the refill frequency of the round-2
+    // 16-bit engine
+    if (S <= 23) {
+      low = (low << 32) | r->peek_bits32();
+      r->pos += 32;                    // prefetch (zero-padded past EOF)
+      S += 32;
       if (r->pos - S > r->nbits) r->error = true;  // CONSUMED past end
     }
   }
@@ -542,8 +580,10 @@ struct CabacEngine {
     return (int)((s & 1) ^ (uint32_t)is_lps);
   }
   inline int bypass() {
-    S -= 1;
+    // refill BEFORE consuming: after `S -= 1` the invariant is only
+    // low < 2*range << S, and `low << 32` would overflow at S = 23
     refill();
+    S -= 1;
     uint64_t thr = (uint64_t)range << S;
     if (low >= thr) { low -= thr; return 1; }
     return 0;
@@ -562,13 +602,13 @@ struct CabacEngine {
 struct CabacCtx {
   BitReader* r;
   FrameBufs* f;
-  Geo g;
+  const Geo* g;
   CabacEngine e;
   int prev_qp_delta = 0;
 
   int nbr(int mb, int which) const {
     int a, b;
-    g.mb_neighbors(mb, &a, &b);
+    g->mb_neighbors(mb, &a, &b);
     int n = which == 0 ? a : b;
     if (n >= 0 && f->parsed[n]) return n;
     return -1;
@@ -603,7 +643,7 @@ struct CabacCtx {
     int incs[2];
     for (int which = 0; which < 2; which++) {
       int mb_n, blk_n;
-      if (!g.luma8_nbr(mb, blk8, which, &mb_n, &blk_n)) { incs[which] = 0; continue; }
+      if (!g->luma8_nbr(mb, blk8, which, &mb_n, &blk_n)) { incs[which] = 0; continue; }
       if (mb_n == mb) {
         incs[which] = ((f->cbp_luma[mb] >> blk_n) & 1) ? 0 : 1;
       } else if (!f->parsed[mb_n] || f->mb_kind[mb_n] == KIND_PCM) {
@@ -637,7 +677,7 @@ struct CabacCtx {
         else incs[which] = 0;
       } else if (cat == 1 || cat == 2) {
         int mb_n, blk_n;
-        if (!g.luma4_nbr(mb, blk, which, &mb_n, &blk_n)
+        if (!g->luma4_nbr(mb, blk, which, &mb_n, &blk_n)
             || (mb_n != mb && !f->parsed[mb_n])) { incs[which] = 1; }
         else if (f->mb_kind[mb_n] == KIND_PCM) incs[which] = 1;
         else if (f->transform8x8[mb_n])
@@ -654,7 +694,7 @@ struct CabacCtx {
         else incs[which] = 0;
       } else {
         int mb_n, blk_n;
-        if (!g.chroma4_nbr(mb, blk, which, &mb_n, &blk_n)
+        if (!g->chroma4_nbr(mb, blk, which, &mb_n, &blk_n)
             || (mb_n != mb && !f->parsed[mb_n])) { incs[which] = 1; }
         else if (f->mb_kind[mb_n] == KIND_PCM) incs[which] = 1;
         else if (f->cbp_chroma[mb_n] == 2)
@@ -671,39 +711,49 @@ struct CabacCtx {
     static const int cat_off_cbf[5] = {0, 4, 8, 12, 16};
     static const int cat_off_sig[5] = {0, 15, 29, 44, 47};
     static const int cat_off_abs[5] = {0, 10, 20, 30, 39};
+    // ctxIdxInc per scan position, hoisted out of the bin loop (the
+    // per-bin cat branches were measurable): identity for cats 0-2,
+    // min(i, 2) for chroma DC, kSig8x8/kLast8x8 for cat 5
+    static const uint8_t kIdent[63] = {
+        0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15,
+        16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31,
+        32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47,
+        48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62};
+    static const uint8_t kCdcInc[3] = {0, 1, 2};
     int cbf = 1;
     if (cat != 5) {
-      int inc = cond_cbf(mb, cat, cat == 4 ? blk : blk, ic);
+      int inc = cond_cbf(mb, cat, blk, ic);
       cbf = e.decision(85 + cat_off_cbf[cat] + inc);
       if (!cbf) return 0;
     }
     int sig_base, last_base, abs_base;
-    if (cat == 5) { sig_base = 402; last_base = 417; abs_base = 426; }
-    else {
+    const uint8_t *sig_tab, *last_tab;
+    if (cat == 5) {
+      sig_base = 402; last_base = 417; abs_base = 426;
+      sig_tab = kSig8x8; last_tab = kLast8x8;
+    } else {
       sig_base = 105 + cat_off_sig[cat];
       last_base = 166 + cat_off_sig[cat];
       abs_base = 227 + cat_off_abs[cat];
+      if (cat == 3) { sig_tab = kCdcInc; last_tab = kCdcInc; }
+      else { sig_tab = kIdent; last_tab = kIdent; }
     }
-    int sig[64];
-    memset(sig, 0, sizeof(int) * maxn);
-    int num = 0;
+    // significance scan records positions directly (no sig[] bitmap /
+    // memset, and the level loop only visits significant positions)
+    int pos[64];
+    int np = 0;
     bool last_fired = false;
     for (int i = 0; i < maxn - 1; i++) {
-      int sig_inc, last_inc;
-      if (cat == 5) { sig_inc = kSig8x8[i]; last_inc = kLast8x8[i]; }
-      else if (cat == 3) { sig_inc = i < 2 ? i : 2; last_inc = sig_inc; }
-      else { sig_inc = i; last_inc = i; }
-      if (e.decision(sig_base + sig_inc)) {
-        sig[i] = 1;
-        num = i + 1;
-        if (e.decision(last_base + last_inc)) { last_fired = true; break; }
+      if (e.decision(sig_base + sig_tab[i])) {
+        pos[np++] = i;
+        if (e.decision(last_base + last_tab[i])) { last_fired = true; break; }
       }
     }
-    if (!last_fired) { sig[maxn - 1] = 1; num = maxn; }
+    if (!last_fired) pos[np++] = maxn - 1;
 
     int num_gt1 = 0, num_eq1 = 0;
-    for (int idx = num - 1; idx >= 0; idx--) {
-      if (!sig[idx]) continue;
+    for (int pi = np - 1; pi >= 0; pi--) {
+      int idx = pos[pi];
       int inc0 = num_gt1 ? 0 : (1 + num_eq1 < 4 ? 1 + num_eq1 : 4);
       int prefix = 0;
       if (e.decision(abs_base + inc0)) {
@@ -747,8 +797,9 @@ struct SliceDec {
   CabacCtx cab;
 
   // skew slot of MB (r, c): wave w = 2r + c, lane k = r0(w) - r
-  // (must match ops/recon_wave.skew_tables)
+  // (must match ops/recon_wave.skew_tables; cached in Geo per MB)
   inline int64_t slot_of(int mb) const {
+    if (mb == g.cur_mb) return g.cur_slot;
     int rr = mb / g.wmb, cc = mb % g.wmb;
     int w = 2 * rr + cc;
     int r0w = w / 2 < g.hmb - 1 ? w / 2 : g.hmb - 1;
@@ -1161,16 +1212,16 @@ static int64_t parse_slice_impl(
   d.g.hmb = hmb;
   d.g.first_mb = first_mb;
   d.mp.f = &d.f;
-  d.mp.g = d.g;
+  d.mp.g = &d.g;
   d.qp_prev = slice_qp;
   d.cabac = entropy_cabac;
   d.transform8x8_mode = transform8x8_mode;
   d.cav.r = &d.r;
   d.cav.f = &d.f;
-  d.cav.g = d.g;
+  d.cav.g = &d.g;
   d.cab.r = &d.r;
   d.cab.f = &d.f;
-  d.cab.g = d.g;
+  d.cab.g = &d.g;
 
   int n_mbs = wmb * hmb;
   int mb = first_mb;
@@ -1182,6 +1233,7 @@ static int64_t parse_slice_impl(
     d.cab.e.init_engine();
     while (true) {
       if (mb >= n_mbs) return -2;
+      d.g.set_current(mb, maxw);
       if (d.parse_mb_cabac(mb) < 0 || d.r.error) return -3;
       mb++;
       if (d.cab.e.terminate()) break;
@@ -1201,6 +1253,7 @@ static int64_t parse_slice_impl(
     if (stop < 0) return -4;
     while (d.r.pos < stop) {
       if (mb >= n_mbs) return -2;
+      d.g.set_current(mb, maxw);
       if (d.parse_mb_cavlc(mb) < 0 || d.r.error) return -3;
       mb++;
     }

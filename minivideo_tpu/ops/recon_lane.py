@@ -21,10 +21,11 @@ drivers share it:
     over waves) — used for CPU tests and as a fallback (the XLA drivers
     are dispatch-bound at ~80 fps/1080p on v5e: ~50 kernel launches per
     wave x 254 waves dominates wall clock);
-  * ops/recon_lane_pallas.py — ONE Pallas kernel, grid (n_waves, B),
-    boundary state in VMEM scratch;
-  * ops/recon_fused.py — the flagship TPU engine: grid (n_waves,) with
-    the batch merged into the lane axis (L = B * maxw).
+  * ops/recon_fused.py — the flagship TPU engine: ONE Pallas kernel,
+    grid (n_waves,) with the batch merged into the lane axis
+    (L = B * maxw) and residual construction in-kernel (ops/slab.py);
+  * parallel/halo.py — the same math inside shard_map with the lane
+    axis sharded across chips (ppermute halos).
 
 All tile block reads/writes are static sublane slices/concats (columns
 are assembled from single-sublane slices — no gathers, no strided ops,

@@ -10,9 +10,9 @@ serialises that to ~1 fps at 1080p on TPU).
 
 `wave_compute` is the pure per-wave math of this module's XLA driver
 (lax.fori_loop; CPU tests / fallback).  The production TPU path is the
-lane-major single-kernel family: ops/recon_lane.py (shared math),
-ops/recon_lane_pallas.py (per-frame grid) and ops/recon_fused.py
-(batch-in-lanes, the flagship engine).
+lane-major single-kernel family: ops/recon_lane.py (shared math) and
+ops/recon_fused.py (batch-in-lanes single Pallas kernel, the flagship
+engine).
 
 The code is written under Mosaic's lowering constraints (which also suit
 XLA fine): no gather/scatter, no lane-splitting reshapes (blocks are

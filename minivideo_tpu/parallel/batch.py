@@ -126,12 +126,15 @@ class _Recon:
     """Geometry-keyed cache of sharded reconstruction functions."""
 
     def __init__(self, mesh, engine: str):
+        from ..models.h264.decoder import resolve_engine
         self.mesh = mesh
-        self.engine = engine
+        # "pallas" kept as a round-2 alias for the fused kernel
+        engine = "fused" if engine == "pallas" else engine
+        self.engine = resolve_engine(engine)
         self._fns = {}
 
     def _make(self, wmb, hmb, batch):
-        if self.engine == "pallas":
+        if self.engine == "fused":
             from ..ops.recon_fused import make_reconstruct_fused
             return make_reconstruct_fused(wmb, hmb, batch)
         from ..ops.recon_wave import make_reconstruct_wave
@@ -142,7 +145,7 @@ class _Recon:
         n_dev = self.mesh.devices.size
         arrays, real_b = pad_to_multiple(packed.arrays, n_dev)
         key = (packed.wmb, packed.hmb,
-               arrays["mb_kind"].shape[0] if self.engine == "pallas"
+               arrays["mb_kind"].shape[0] if self.engine == "fused"
                else None)
         if key not in self._fns:
             self._fns[key] = self._make(packed.wmb, packed.hmb,
@@ -160,7 +163,7 @@ class _Recon:
 def batch_thumbnail(clips, outdir, *, pictures_per_clip: int = 1,
                     mode=PictureRepartition.UNFILTERED,
                     fmt=PictureFormat.PNG, quality: int = 75,
-                    mesh=None, engine: str = "wave",
+                    mesh=None, engine: str = "jax",
                     manifest_path: str | None = None,
                     process_index: int | None = None,
                     process_count: int | None = None,
@@ -170,6 +173,9 @@ def batch_thumbnail(clips, outdir, *, pictures_per_clip: int = 1,
     import jax
     from ..export.image import export_picture
     from ..ops.recon import pack_frames
+    from ..settings import ensure_compile_cache
+
+    ensure_compile_cache()
 
     if process_index is None:
         process_index = jax.process_index()

@@ -165,13 +165,7 @@ def make_reconstruct_halo(wmb: int, hmb: int, batch: int, mesh: Mesh,
         out_specs=(lane_slab, lane_slab),
         check_vma=False)
 
-    def recon(arrays, ls4, ls8, cb_off, cr_off):
-        luma, chroma, dcs = sl.slabs_from_raster(arrays)
-        meta = sl.meta_raster(arrays, cb_off, cr_off, wmb, hmb)
-        meta_s = sl.vmask_feed(sl.skew_feed(meta, g, batch), g, batch)
-        coefl_s = sl.skew_feed_slab(luma, g, batch).astype(jnp.int16)
-        coefc_s = sl.skew_feed_slab(chroma, g, batch).astype(jnp.int16)
-        dcs_s = sl.skew_feed_slab(dcs, g, batch).astype(jnp.int16)
+    def _run(meta_s, coefl_s, coefc_s, dcs_s, ls4, ls8):
         t4, t8, tcb, tcr = sl.scale_tables(ls4, ls8)
         out_y, out_c = loop(
             dr0j, shtopj, mrj, mlj, meta_s, coefl_s, coefc_s, dcs_s,
@@ -180,14 +174,42 @@ def make_reconstruct_halo(wmb: int, hmb: int, batch: int, mesh: Mesh,
             jnp.asarray(sl.HH16), jnp.asarray(sl.HH8C))
         return unskew_fused(out_y, out_c, g, batch)
 
-    return jax.jit(recon)
+    def recon(arrays, ls4, ls8, cb_off, cr_off):
+        luma, chroma, dcs = sl.slabs_from_raster(arrays)
+        meta = sl.meta_raster(arrays, cb_off, cr_off, wmb, hmb)
+        meta_s = sl.vmask_feed(sl.skew_feed(meta, g, batch), g, batch)
+        coefl_s = sl.skew_feed_slab(luma, g, batch).astype(jnp.int16)
+        coefc_s = sl.skew_feed_slab(chroma, g, batch).astype(jnp.int16)
+        dcs_s = sl.skew_feed_slab(dcs, g, batch).astype(jnp.int16)
+        return _run(meta_s, coefl_s, coefc_s, dcs_s, ls4, ls8)
+
+    def recon_slots(arrays, luma_slab, chroma_slab, dc_slab,
+                    ls4, ls8, cb_off, cr_off):
+        """Slot-staged variant: the native parser's slab records feed the
+        sharded loop directly (production fused-engine feed)."""
+        meta = sl.meta_raster(arrays, cb_off, cr_off, wmb, hmb)
+        meta_s = sl.vmask_feed(sl.skew_feed(meta, g, batch), g, batch)
+        coefl_s = sl.slot_feed(luma_slab, g, batch, jnp.int16)
+        coefc_s = sl.slot_feed(chroma_slab, g, batch, jnp.int16)
+        dcs_s = sl.slot_feed(dc_slab, g, batch, jnp.int16)
+        return _run(meta_s, coefl_s, coefc_s, dcs_s, ls4, ls8)
+
+    return jax.jit(recon), jax.jit(recon_slots)
 
 
 def reconstruct_frames_halo(packed: PackedFrames, mesh: Mesh,
                             axis: str = "lanes"):
-    fn = make_reconstruct_halo(packed.wmb, packed.hmb, packed.batch,
-                               mesh, axis)
-    arrays = {k: jnp.asarray(v) for k, v in packed.arrays.items()}
+    fn, fn_slots = make_reconstruct_halo(packed.wmb, packed.hmb,
+                                         packed.batch, mesh, axis)
     cb_off, cr_off = packed.chroma_qp_off
-    return fn(arrays, jnp.asarray(packed.ls4), jnp.asarray(packed.ls8),
-              cb_off, cr_off)
+    ls4 = jnp.asarray(packed.ls4)
+    ls8 = jnp.asarray(packed.ls8)
+    if packed.slots:
+        small = {k: jnp.asarray(v) for k, v in packed.arrays.items()
+                 if not k.endswith("_slab")}
+        return fn_slots(small, jnp.asarray(packed.arrays["luma_slab"]),
+                        jnp.asarray(packed.arrays["chroma_slab"]),
+                        jnp.asarray(packed.arrays["dc_slab"]),
+                        ls4, ls8, cb_off, cr_off)
+    arrays = {k: jnp.asarray(v) for k, v in packed.arrays.items()}
+    return fn(arrays, ls4, ls8, cb_off, cr_off)

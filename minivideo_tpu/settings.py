@@ -27,8 +27,11 @@ from dataclasses import dataclass
 VERSION = (0, 2, 0)          # round-2 snapshot
 VERSION_STR = ".".join(str(v) for v in VERSION)
 
-# reconstruction engines, in "production-ness" order
-ENGINES = ("fused", "lane", "wave", "scatter", "np")
+# reconstruction engines, in "production-ness" order: the fused Pallas
+# kernel (TPU production), the XLA wave driver (CPU fallback / sharding
+# reference), and the numpy oracle.  (Round 3 pruned the round-1/2
+# scatter and per-frame-Pallas engines: superseded, never production.)
+ENGINES = ("fused", "wave", "np")
 
 
 @dataclass(frozen=True)
@@ -41,6 +44,7 @@ class Settings:
     engine: str = "fused"            # default TPU reconstruction engine
     profile_dir: str = ""            # jax.profiler output (profiling.py)
     decode_ipcm: bool = True         # parity flag; reference gates IPCM
+    compile_cache_dir: str = ""      # persistent XLA compile cache
 
     @staticmethod
     def from_env(env=None) -> "Settings":
@@ -48,12 +52,16 @@ class Settings:
         engine = e.get("MINIVIDEO_TPU_ENGINE", "fused")
         if engine not in ENGINES:
             engine = "fused"
+        default_cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "minivideo_tpu", "jax")
         return Settings(
             trace_level=e.get("MINIVIDEO_TPU_TRACE", ""),
             trace_color=e.get("MINIVIDEO_TPU_COLOR", "1") != "0",
             use_native=e.get("MINIVIDEO_TPU_NO_NATIVE") != "1",
             engine=engine,
             profile_dir=e.get("MINIVIDEO_TPU_PROFILE", ""),
+            compile_cache_dir=e.get("MINIVIDEO_TPU_CACHE_DIR",
+                                    default_cache),
         )
 
 
@@ -65,6 +73,33 @@ def settings() -> Settings:
     if _settings is None:
         _settings = Settings.from_env()
     return _settings
+
+
+_cache_wired = False
+
+
+def ensure_compile_cache() -> None:
+    """Point JAX at the persistent compilation cache (idempotent).
+
+    The fused kernel's cold compile is minutes-scale on a remote TPU
+    (PERF.md); every production entry point (mv_decode, batch_thumbnail,
+    bench) calls this so the compile is paid once per machine, not once
+    per process.  Disable with MINIVIDEO_TPU_CACHE_DIR="".
+    """
+    global _cache_wired
+    if _cache_wired:
+        return
+    _cache_wired = True
+    d = settings().compile_cache_dir
+    if not d:
+        return
+    try:
+        import jax
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:                    # noqa: BLE001 — cache is optional
+        pass
 
 
 def endianness() -> int:

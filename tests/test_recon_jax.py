@@ -11,7 +11,7 @@ from minivideo_tpu.models.h264.decoder import H264Decoder
 from minivideo_tpu.models.h264.nalu import parse_nalu, split_annexb
 from minivideo_tpu.models.h264.recon_np import reconstruct_frame
 from minivideo_tpu.ops import transform as tj
-from minivideo_tpu.ops.recon import pack_frames, reconstruct_frames
+from minivideo_tpu.ops.recon import pack_frames
 from minivideo_tpu.ops.recon_lane import reconstruct_frames_lane
 from minivideo_tpu.ops.recon_wave import reconstruct_frames_wave
 
@@ -65,13 +65,12 @@ def test_transforms_bitexact(qp):
 
 
 _ENGINES = {
-    "scatter": reconstruct_frames,
     "wave": reconstruct_frames_wave,
     "lane": reconstruct_frames_lane,
 }
 
 
-def _compare(data, engines=("scatter", "wave", "lane")):
+def _compare(data, engines=("wave", "lane")):
     frames, sps, pps = _parse_stream(data)
     packed = pack_frames(frames, sps, pps)
     for engine in engines:
