@@ -96,7 +96,8 @@ def parse_frame(arg):
     from minivideo_tpu.native import parse_slice_native_slab
     staging, i, item = arg
     nalu, sh, sps, pps = item
-    fs = FrameSyntax(sps.pic_width_in_mbs, sps.pic_height_in_map_units)
+    fs = FrameSyntax(sps.pic_width_in_mbs, sps.pic_height_in_map_units,
+                     lite=True)
     parse_slice_native_slab(fs, staging, i, nalu.rbsp,
                             sh.data_bit_offset, sh.first_mb_in_slice,
                             sh.qp, bool(pps.entropy_coding_mode_flag),

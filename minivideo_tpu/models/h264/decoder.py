@@ -144,6 +144,39 @@ class H264Decoder:
             parser = CavlcSliceParser(r, sh, sps, pps, fs)
         return parser.parse_slice_data()
 
+    def reconstruct_batch(self, parsed_groups):
+        """Reconstruct MANY parsed pictures in one engine batch.
+
+        parsed_groups: list of (fs, sps, pps, slice_of_mb) sharing one
+        SPS/PPS configuration.  One jit/kernel invocation covers the
+        whole batch (vs per-picture batch-1 calls), which is how the
+        production TPU path amortizes compile and dispatch."""
+        engine = resolve_engine(self.engine)
+        fs0, sps, pps, _ = parsed_groups[0]
+        frames = [(fs, som) for fs, _, _, som in parsed_groups]
+        from ...ops.recon import pack_frames
+        from ...settings import ensure_compile_cache
+        ensure_compile_cache()
+        packed = pack_frames(frames, sps, pps)
+        if engine == "fused":
+            from ...ops.recon_fused import reconstruct_frames_fused
+            import jax as _jax
+            interp = _jax.devices()[0].platform == "cpu"
+            yb, cbb, crb = reconstruct_frames_fused(packed,
+                                                    interpret=interp)
+        else:
+            from ...ops.recon_wave import reconstruct_frames_wave
+            yb, cbb, crb = reconstruct_frames_wave(packed)
+        pics = []
+        for i, (fs, _) in enumerate(frames):
+            pics.append(DecodedPicture(
+                y=np.asarray(yb[i]), cb=np.asarray(cbb[i]),
+                cr=np.asarray(crb[i]),
+                width=sps.cropped_width, height=sps.cropped_height,
+                idr_index=self.idr_count, syntax=fs))
+            self.idr_count += 1
+        return pics
+
     def _decode_idr(self, nalus):
         fs, sps, pps, slice_of_mb = self.parse_idr_syntax(nalus)
         engine = resolve_engine(self.engine)
@@ -230,6 +263,33 @@ def decode_annexb(data: bytes, max_pictures: int = 0, engine: str = "np"):
             errors += 1
             if errors > MAX_CONSECUTIVE_ERRORS:
                 break
+    if resolve_engine(engine) != "np":
+        # batched path: entropy-parse every selected picture first, then
+        # reconstruct groups sharing an SPS/PPS config in ONE engine
+        # batch (one compile + one kernel dispatch for the whole set)
+        parsed = []
+        for group in group_iter:
+            try:
+                fs, sps, pps, som = dec.parse_idr_syntax(group)
+                parsed.append((fs, sps, pps, som))
+            except UnsupportedStream:
+                raise
+            except (ValueError, BitstreamError) as e:
+                trace.warning("H264", "IDR parse error: %s", e)
+                errors += 1
+                if errors > MAX_CONSECUTIVE_ERRORS:
+                    break
+            if max_pictures and len(parsed) >= max_pictures:
+                break
+        i = 0
+        while i < len(parsed):
+            j = i + 1
+            key = (parsed[i][1], parsed[i][2])
+            while j < len(parsed) and (parsed[j][1], parsed[j][2]) == key:
+                j += 1
+            pictures.extend(dec.reconstruct_batch(parsed[i:j]))
+            i = j
+        return pictures
     for group in group_iter:
         try:
             pictures.append(dec._decode_idr(group))

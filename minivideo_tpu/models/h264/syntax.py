@@ -38,9 +38,14 @@ MODE_DC = 2  # DC intra pred mode index (both 4x4 and 16x16 numbering)
 
 @dataclass
 class FrameSyntax:
-    """Parsed syntax of one I picture: static-shaped arrays, nmb = wmb*hmb."""
+    """Parsed syntax of one I picture: static-shaped arrays, nmb = wmb*hmb.
+
+    lite=True skips the five large raster coefficient buffers — for the
+    native parser's slab mode, which writes coefficients into external
+    slot-ordered staging instead (ops/recon.make_slab_staging)."""
     width_mbs: int
     height_mbs: int
+    lite: bool = False
 
     mb_kind: np.ndarray = None        # [nmb] int8
     qpy: np.ndarray = None            # [nmb] int32 (after delta chain)
@@ -82,11 +87,12 @@ class FrameSyntax:
         self.luma8x8_modes = np.full((n, 4), MODE_DC, dtype=np.int8)
         self.cbp_luma = np.zeros(n, dtype=np.int8)
         self.cbp_chroma = np.zeros(n, dtype=np.int8)
-        self.luma_dc = np.zeros((n, 4, 4), dtype=np.int32)
-        self.luma_ac = np.zeros((n, 16, 4, 4), dtype=np.int32)
-        self.luma8x8_coeff = np.zeros((n, 4, 8, 8), dtype=np.int32)
-        self.chroma_dc = np.zeros((n, 2, 2, 2), dtype=np.int32)
-        self.chroma_ac = np.zeros((n, 2, 4, 4, 4), dtype=np.int32)
+        cn = 1 if self.lite else n
+        self.luma_dc = np.zeros((cn, 4, 4), dtype=np.int32)
+        self.luma_ac = np.zeros((cn, 16, 4, 4), dtype=np.int32)
+        self.luma8x8_coeff = np.zeros((cn, 4, 8, 8), dtype=np.int32)
+        self.chroma_dc = np.zeros((cn, 2, 2, 2), dtype=np.int32)
+        self.chroma_ac = np.zeros((cn, 2, 4, 4, 4), dtype=np.int32)
         self.total_coeff_luma = np.zeros((n, 16), dtype=np.int16)
         self.total_coeff_chroma = np.zeros((n, 2, 4), dtype=np.int16)
         self.cbf_luma_dc = np.zeros(n, dtype=np.int8)

@@ -84,6 +84,8 @@ def parse_slice_native(fs, rbsp: bytes, data_bit_offset: int,
     BitstreamError)."""
     lib = load()
     assert lib is not None
+    assert not getattr(fs, "lite", False), \
+        "classic (raster) parse needs full coefficient buffers"
     bufs = (ctypes.c_void_p * len(_FIELDS))()
     for i, name in enumerate(_FIELDS):
         arr = getattr(fs, name)
