@@ -58,3 +58,50 @@ def test_halo_wide_frame():
                        mb_kinds=("i16", "i4"), density=0.35,
                        allow_pcm=False)
     _compare_halo(data, 4)
+
+
+def test_halo_slot_staging():
+    """The native slab-mode (slot-staged) feed through the sharded halo
+    loop: production records, frames spanning devices."""
+    from minivideo_tpu.native import available
+    if not available():
+        pytest.skip("native library unavailable")
+    from minivideo_tpu.models.h264.decoder import H264Decoder
+    from minivideo_tpu.models.h264.nalu import parse_nalu, split_annexb
+    from minivideo_tpu.models.h264.slicehdr import parse_slice_header
+    from minivideo_tpu.models.h264.syntax import FrameSyntax
+    from minivideo_tpu.native import parse_slice_native_slab
+    from minivideo_tpu.ops.recon import make_slab_staging, pack_frames_slots
+
+    data = make_stream(width_mbs=5, height_mbs=4, n_pictures=2, seed=35,
+                       mb_kinds=("i16", "i4"), density=0.4,
+                       allow_pcm=False)
+    dec = H264Decoder()
+    nalus = [parse_nalu(raw, off) for off, raw in split_annexb(data)]
+    for n in nalus:
+        if n.nal_unit_type in (7, 8):
+            dec.feed_nalu(n)
+    idrs = [n for n in nalus if n.nal_unit_type == 5]
+    staging = make_slab_staging(5, 4, len(idrs))
+    frames = []
+    sps = pps = None
+    for i, n in enumerate(idrs):
+        sh, sps, pps = parse_slice_header(n.rbsp, 5, n.nal_ref_idc,
+                                          dec.sps_map, dec.pps_map)
+        fs = FrameSyntax(5, 4, lite=True)
+        parse_slice_native_slab(fs, staging, i, n.rbsp,
+                                sh.data_bit_offset, 0, sh.qp,
+                                bool(pps.entropy_coding_mode_flag),
+                                bool(pps.transform_8x8_mode_flag))
+        frames.append((fs, None))
+    packed = pack_frames_slots(staging, frames, sps, pps)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("lanes",))
+    y, cb, cr = (np.asarray(a)
+                 for a in reconstruct_frames_halo(packed, mesh))
+    # oracle from a raster parse of the same stream
+    frames_r, sps, pps = _parse_stream(data)
+    for i, (fs, som) in enumerate(frames_r):
+        ry, rcb, rcr = reconstruct_frame(fs, sps, pps, som)
+        np.testing.assert_array_equal(ry, y[i], err_msg=f"Y pic {i}")
+        np.testing.assert_array_equal(rcb, cb[i], err_msg=f"Cb pic {i}")
+        np.testing.assert_array_equal(rcr, cr[i], err_msg=f"Cr pic {i}")
