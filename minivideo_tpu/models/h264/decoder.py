@@ -144,20 +144,51 @@ class H264Decoder:
             parser = CavlcSliceParser(r, sh, sps, pps, fs)
         return parser.parse_slice_data()
 
-    def reconstruct_batch(self, parsed_groups):
+    def parse_groups_slab(self, groups, sps, pps):
+        """Entropy-parse many pictures straight into slot-ordered slab
+        staging (the production fused-engine feed; native parser only).
+        groups: list of NALU lists, all sharing sps/pps.  Returns a
+        slots=True PackedFrames."""
+        from ...native import parse_slice_native_slab
+        from ...ops.recon import make_slab_staging, pack_frames_slots
+        wmb = sps.pic_width_in_mbs
+        hmb = sps.pic_height_in_map_units
+        staging = make_slab_staging(wmb, hmb, len(groups))
+        frames = []
+        for i, nalus in enumerate(groups):
+            fs = FrameSyntax(wmb, hmb, lite=True)
+            slice_of_mb = np.full(fs.n_mbs, -1, dtype=np.int32)
+            for snum, nalu in enumerate(nalus):
+                sh, _, _ = parse_slice_header(
+                    nalu.rbsp, nalu.nal_unit_type, nalu.nal_ref_idc,
+                    self.sps_map, self.pps_map)
+                n = parse_slice_native_slab(
+                    fs, staging, i, nalu.rbsp, sh.data_bit_offset,
+                    sh.first_mb_in_slice, sh.qp,
+                    bool(pps.entropy_coding_mode_flag),
+                    bool(pps.transform_8x8_mode_flag))
+                slice_of_mb[sh.first_mb_in_slice:
+                            sh.first_mb_in_slice + n] = snum
+            frames.append((fs, slice_of_mb))
+        return pack_frames_slots(staging, frames, sps, pps), frames
+
+    def reconstruct_batch(self, parsed_groups, packed=None):
         """Reconstruct MANY parsed pictures in one engine batch.
 
         parsed_groups: list of (fs, sps, pps, slice_of_mb) sharing one
         SPS/PPS configuration.  One jit/kernel invocation covers the
         whole batch (vs per-picture batch-1 calls), which is how the
-        production TPU path amortizes compile and dispatch."""
+        production TPU path amortizes compile and dispatch.  `packed`
+        may be a prebuilt PackedFrames (e.g. slot staging from
+        parse_groups_slab)."""
         engine = resolve_engine(self.engine)
         fs0, sps, pps, _ = parsed_groups[0]
         frames = [(fs, som) for fs, _, _, som in parsed_groups]
         from ...ops.recon import pack_frames
         from ...settings import ensure_compile_cache
         ensure_compile_cache()
-        packed = pack_frames(frames, sps, pps)
+        if packed is None:
+            packed = pack_frames(frames, sps, pps)
         if engine == "fused":
             from ...ops.recon_fused import reconstruct_frames_fused
             import jax as _jax
@@ -205,6 +236,80 @@ class H264Decoder:
             idr_index=self.idr_count, syntax=fs)
         self.idr_count += 1
         return pic
+
+
+def _decode_batched(dec, group_iter, max_pictures, errors):
+    """The production decode path: entropy-parse every selected picture
+    first, then reconstruct groups sharing an SPS/PPS config in ONE
+    engine batch (one compile + one kernel dispatch for the whole set).
+    On TPU with the native parser, coefficients flow through the
+    slot-ordered slab staging — the same feed bench.py measures."""
+    import os as _os
+    engine = resolve_engine(dec.engine)
+    use_slab = False
+    if engine == "fused" and _os.environ.get(
+            "MINIVIDEO_TPU_NO_NATIVE") != "1":
+        from ...native import available
+        use_slab = available()
+
+    # partition consecutive groups by their (SPS, PPS) configuration
+    # (peeked from the first slice header of each group)
+    parts = []
+    for group in group_iter:
+        try:
+            sh, sps, pps = parse_slice_header(
+                group[0].rbsp, group[0].nal_unit_type,
+                group[0].nal_ref_idc, dec.sps_map, dec.pps_map)
+        except (ValueError, BitstreamError) as e:
+            trace.warning("H264", "slice header error: %s", e)
+            errors += 1
+            if errors > MAX_CONSECUTIVE_ERRORS:
+                break
+            continue
+        if parts and parts[-1][0] is sps and parts[-1][1] is pps:
+            parts[-1][2].append(group)
+        else:
+            parts.append((sps, pps, [group]))
+        if max_pictures and sum(len(p[2]) for p in parts) >= max_pictures:
+            break
+    if max_pictures:
+        total = 0
+        for k, (sps, pps, groups) in enumerate(parts):
+            if total + len(groups) > max_pictures:
+                parts[k] = (sps, pps, groups[:max_pictures - total])
+                del parts[k + 1:]
+                break
+            total += len(groups)
+
+    pictures = []
+    for sps, pps, groups in parts:
+        packed = None
+        parsed = None
+        if use_slab:
+            try:
+                packed, frames = dec.parse_groups_slab(groups, sps, pps)
+                parsed = [(fs, sps, pps, som) for fs, som in frames]
+            except (RuntimeError, ValueError, BitstreamError) as e:
+                trace.warning("H264", "slab parse failed (%s); "
+                              "falling back to raster", e)
+                packed = None
+        if packed is None:
+            parsed = []
+            for group in groups:
+                try:
+                    fs, sps_g, pps_g, som = dec.parse_idr_syntax(group)
+                    parsed.append((fs, sps_g, pps_g, som))
+                except UnsupportedStream:
+                    raise
+                except (ValueError, BitstreamError) as e:
+                    trace.warning("H264", "IDR parse error: %s", e)
+                    errors += 1
+                    if errors > MAX_CONSECUTIVE_ERRORS:
+                        break
+            if not parsed:
+                continue
+        pictures.extend(dec.reconstruct_batch(parsed, packed=packed))
+    return pictures
 
 
 def group_idr_access_units(nalus):
@@ -264,32 +369,7 @@ def decode_annexb(data: bytes, max_pictures: int = 0, engine: str = "np"):
             if errors > MAX_CONSECUTIVE_ERRORS:
                 break
     if resolve_engine(engine) != "np":
-        # batched path: entropy-parse every selected picture first, then
-        # reconstruct groups sharing an SPS/PPS config in ONE engine
-        # batch (one compile + one kernel dispatch for the whole set)
-        parsed = []
-        for group in group_iter:
-            try:
-                fs, sps, pps, som = dec.parse_idr_syntax(group)
-                parsed.append((fs, sps, pps, som))
-            except UnsupportedStream:
-                raise
-            except (ValueError, BitstreamError) as e:
-                trace.warning("H264", "IDR parse error: %s", e)
-                errors += 1
-                if errors > MAX_CONSECUTIVE_ERRORS:
-                    break
-            if max_pictures and len(parsed) >= max_pictures:
-                break
-        i = 0
-        while i < len(parsed):
-            j = i + 1
-            key = (parsed[i][1], parsed[i][2])
-            while j < len(parsed) and (parsed[j][1], parsed[j][2]) == key:
-                j += 1
-            pictures.extend(dec.reconstruct_batch(parsed[i:j]))
-            i = j
-        return pictures
+        return _decode_batched(dec, group_iter, max_pictures, errors)
     for group in group_iter:
         try:
             pictures.append(dec._decode_idr(group))
