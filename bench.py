@@ -152,7 +152,13 @@ def main():
         packs[entropy] = pk
 
     # ---- device stage ------------------------------------------------------
-    fn0 = make_reconstruct_fused_slots(WMB, HMB, BATCH)
+    # same specialization variant the production dispatcher picks for
+    # this stream (has8x8 from the PPS, haspcm from the batch scan)
+    pk0 = packs["cavlc"]
+    log(f"bench: kernel variant: has8x8={pk0.has8x8} haspcm={pk0.haspcm}")
+    fn0 = make_reconstruct_fused_slots(WMB, HMB, BATCH,
+                                       has8x8=pk0.has8x8,
+                                       haspcm=pk0.haspcm)
     dev_fns = {}
     for entropy, pk in packs.items():
         small = {k: jnp.asarray(v) for k, v in pk.arrays.items()

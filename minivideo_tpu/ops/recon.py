@@ -109,10 +109,19 @@ class PackedFrames:
     ls8: np.ndarray       # [6, 8, 8]
     chroma_qp_off: tuple  # (cb_offset, cr_offset)
     slots: bool = False
+    has8x8: bool = True   # PPS transform_8x8_mode_flag (static per stream)
 
     @property
     def batch(self) -> int:
         return self.arrays["mb_kind"].shape[0]
+
+    @property
+    def haspcm(self) -> bool:
+        """True if any MB in the batch is I_PCM (host scan; decides the
+        kernel specialization variant — at most two variants compile
+        per geometry, both persistently cached)."""
+        return bool(np.any(np.asarray(self.arrays["mb_kind"])
+                           == KIND_IPCM))
 
 
 def pack_frames(frames, sps, pps) -> PackedFrames:
@@ -149,7 +158,8 @@ def pack_frames(frames, sps, pps) -> PackedFrames:
     ls8 = level_scale_8x8_np(pps.scaling_list_8x8[0])
     return PackedFrames(wmb, hmb, arrays, ls4, ls8,
                         (pps.chroma_qp_index_offset,
-                         pps.second_chroma_qp_index_offset))
+                         pps.second_chroma_qp_index_offset),
+                        has8x8=bool(pps.transform_8x8_mode_flag))
 
 
 def make_frame_staging(wmb: int, hmb: int, batch: int) -> dict:
@@ -217,7 +227,8 @@ def pack_frames_staged(staging: dict, frames, sps, pps) -> PackedFrames:
     ls8 = level_scale_8x8_np(pps.scaling_list_8x8[0])
     return PackedFrames(wmb, hmb, arrays, ls4, ls8,
                         (pps.chroma_qp_index_offset,
-                         pps.second_chroma_qp_index_offset))
+                         pps.second_chroma_qp_index_offset),
+                        has8x8=bool(pps.transform_8x8_mode_flag))
 
 
 def make_slab_staging(wmb: int, hmb: int, batch: int) -> dict:
@@ -271,7 +282,8 @@ def pack_frames_slots(staging: dict, frames, sps, pps) -> PackedFrames:
     ls8 = level_scale_8x8_np(pps.scaling_list_8x8[0])
     return PackedFrames(wmb, hmb, arrays, ls4, ls8,
                         (pps.chroma_qp_index_offset,
-                         pps.second_chroma_qp_index_offset), slots=True)
+                         pps.second_chroma_qp_index_offset), slots=True,
+                        has8x8=bool(pps.transform_8x8_mode_flag))
 
 
 def _luma_ac_with_pcm(fs: FrameSyntax) -> np.ndarray:

@@ -84,7 +84,7 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
                  s4m_ref, s4r_ref, s4s_ref, s8m_ref, s8r_ref, s8s_ref,
                  outy_ref, outc_ref,
                  row_y, row_c, botA_y, botB_y, botA_c, botB_c, tile_scr,
-                 *, maxw, L):
+                 *, maxw, L, has8x8, haspcm):
     """Grid (w,): one wave of all B frames; dr0s/shtop scalar-prefetched.
 
     Blocks: meta [1, META_ROWS, L] i32; coefl [1, 256, L] i16 coefficient
@@ -147,7 +147,7 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
         dcs_ref[0].astype(jnp.int32), meta,
         t4_ref[...], t8_ref[...], tcb_ref[...], tcr_ref[...],
         p4_ref[...], p8_ref[...], pc_ref[...],
-        hh16_ref[...], hh8c_ref[...])
+        hh16_ref[...], hh8c_ref[...], has8x8=has8x8, haspcm=haspcm)
 
     tile, ctile = wave_compute_lane(
         left_col, corner, top_row, tr_row, left_c, corner_cb, corner_cr,
@@ -155,7 +155,7 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
         i16_mode, cmode, res_luma, res_chroma,
         sel4=(s4m_ref[...], s4r_ref[...], s4s_ref[...]),
         sel8=(s8m_ref[...], s8r_ref[...], s8s_ref[...]),
-        tile_ref=tile_scr)
+        tile_ref=tile_scr, has8x8=has8x8, haspcm=haspcm)
 
     # uint8 output stores: values are already clipped to [0, 255] and
     # halving the written bytes also halves the unskew pass's reads
@@ -185,7 +185,8 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
     botA_c[...] = jnp.concatenate([ctile[56:64], ctile[120:128]], axis=0)
 
 
-def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False):
+def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False,
+                  has8x8: bool = True, haspcm: bool = True):
     g = skew_tables(wmb, hmb)
     n_waves, maxw = g["n_waves"], g["maxw"]
     L = batch * maxw
@@ -232,7 +233,8 @@ def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False):
     )
 
     return pl.pallas_call(
-        partial(_wave_kernel, maxw=maxw, L=L),
+        partial(_wave_kernel, maxw=maxw, L=L, has8x8=has8x8,
+                haspcm=haspcm),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_waves, 256, L), jnp.uint8),
@@ -272,13 +274,14 @@ def _kernel_call(kernel, g, batch, meta_s, coefl_s, coefc_s, dcs_s,
 
 
 def make_reconstruct_fused(wmb: int, hmb: int, batch: int,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           has8x8: bool = True, haspcm: bool = True):
     """Jitted reconstructor over RASTER-order PackedFrames arrays (the
     Python-parser / test path: coefficient slabs are assembled and
     skewed on device)."""
     g = skew_tables(wmb, hmb)
     g["wmb"], g["hmb"] = wmb, hmb
-    kernel = _build_kernel(wmb, hmb, batch, interpret)
+    kernel = _build_kernel(wmb, hmb, batch, interpret, has8x8, haspcm)
 
     def recon(arrays, ls4, ls8, cb_off, cr_off):
         luma, chroma, dcs = sl.slabs_from_raster(arrays)
@@ -294,7 +297,8 @@ def make_reconstruct_fused(wmb: int, hmb: int, batch: int,
 
 
 def make_reconstruct_fused_slots(wmb: int, hmb: int, batch: int,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 has8x8: bool = True, haspcm: bool = True):
     """Jitted reconstructor over slot-ordered slab staging (the native
     parser path): luma_slab [B, n_waves*maxw, 256] i16, chroma_slab
     [B, ., 128] i16, dc_slab [B, ., 32] i16, plus raster small arrays
@@ -302,7 +306,7 @@ def make_reconstruct_fused_slots(wmb: int, hmb: int, batch: int,
     slab (slab.slot_feed); no gathers."""
     g = skew_tables(wmb, hmb)
     g["wmb"], g["hmb"] = wmb, hmb
-    kernel = _build_kernel(wmb, hmb, batch, interpret)
+    kernel = _build_kernel(wmb, hmb, batch, interpret, has8x8, haspcm)
 
     def recon(arrays, luma_slab, chroma_slab, dc_slab,
               ls4, ls8, cb_off, cr_off):
@@ -322,13 +326,19 @@ _CACHE = {}
 
 def reconstruct_frames_fused(packed: PackedFrames, interpret=False):
     """Decode a PackedFrames batch with the fused engine; dispatches on
-    packed.slots (native slab staging vs raster arrays)."""
-    key = (packed.wmb, packed.hmb, packed.batch, packed.slots, interpret)
+    packed.slots (native slab staging vs raster arrays) and on the
+    static specialization features (has8x8 from the PPS, haspcm from a
+    host scan of the batch)."""
+    has8x8 = packed.has8x8
+    haspcm = packed.haspcm
+    key = (packed.wmb, packed.hmb, packed.batch, packed.slots, interpret,
+           has8x8, haspcm)
     cb_off, cr_off = packed.chroma_qp_off
     if packed.slots:
         if key not in _CACHE:
             _CACHE[key] = make_reconstruct_fused_slots(
-                packed.wmb, packed.hmb, packed.batch, interpret)
+                packed.wmb, packed.hmb, packed.batch, interpret,
+                has8x8, haspcm)
         small = {k: jnp.asarray(v) for k, v in packed.arrays.items()
                  if not k.endswith("_slab")}
         return _CACHE[key](
@@ -339,7 +349,8 @@ def reconstruct_frames_fused(packed: PackedFrames, interpret=False):
             cb_off, cr_off)
     if key not in _CACHE:
         _CACHE[key] = make_reconstruct_fused(
-            packed.wmb, packed.hmb, packed.batch, interpret)
+            packed.wmb, packed.hmb, packed.batch, interpret,
+            has8x8, haspcm)
     arrays = {k: jnp.asarray(v) for k, v in packed.arrays.items()}
     return _CACHE[key](arrays, jnp.asarray(packed.ls4),
                        jnp.asarray(packed.ls8), cb_off, cr_off)

@@ -183,7 +183,8 @@ def _tile_sublanes(t, idxs):
 def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
                       corner_cr, top_c, kind, al, at, atl, atr, parsed,
                       modes4, modes8, i16_mode, cmode, res_luma, res_chroma,
-                      sel4=_SEL4_T, sel8=_SEL8_T, tile_ref=None):
+                      sel4=_SEL4_T, sel8=_SEL8_T, tile_ref=None,
+                      has8x8=True, haspcm=True):
     """One wave of one frame, MBs dense over lanes.
 
     Shapes: refs [16, L] (left_c/top_c carry Cb in sublanes 0-7, Cr in
@@ -194,6 +195,10 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
     `tile_ref`, if given, is a [256, L] VMEM scratch ref used for the
     luma tile working state (Pallas driver); otherwise a functional
     jnp array is threaded.
+
+    has8x8 / haspcm are STATIC specialization flags (see
+    ops/slab.residual_from_slabs): False compiles out the 4-step I8x8
+    prediction chain / the PCM zero-pred selects.
 
     Returns (tile [256, L], ctile [128, L]) int32 in [0, 255]; unparsed
     lanes produce zeros.
@@ -310,9 +315,9 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
         out = jnp.clip(pred + res, 0, 255)
         t_write(out, bx, by, 4, is4)
 
-    # ---- I8x8: 4 static block steps --------------------------------------
+    # ---- I8x8: 4 static block steps (compiled out if has8x8=False) -------
     is8 = kind == KIND_I8x8
-    for b8 in range(4):
+    for b8 in range(4) if has8x8 else ():
         bx, by = (b8 % 2) * 8, (b8 // 2) * 8
         if bx == 0:
             l8 = left_col[by:by + 8]
@@ -368,7 +373,7 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
 
     # ---- I16x16 / PCM ----------------------------------------------------
     is_pcm = kind == KIND_IPCM
-    is16 = (kind == KIND_I16x16) | is_pcm
+    is16 = (kind == KIND_I16x16) | is_pcm if haspcm else kind == KIND_I16x16
     pred_v = jnp.concatenate([top_row_m] * 16, axis=0)
     pred_h = jnp.concatenate(
         [jnp.broadcast_to(left_col[y:y + 1], (16, L)) for y in range(16)],
@@ -382,7 +387,8 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
                                         jnp.broadcast_to(dc16,
                                                          pred_v.shape),
                                         pl16)))
-    p16 = jnp.where(is_pcm, 0, p16)
+    if haspcm:
+        p16 = jnp.where(is_pcm, 0, p16)
     out16 = jnp.clip(p16 + res_luma, 0, 255)
     if use_ref:
         tile_ref[...] = jnp.where(is16, out16, tile_ref[...])
@@ -434,7 +440,8 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
         predc = jnp.where(cmode == 0, pred_dc,
                           jnp.where(cmode == 1, pred_h,
                                     jnp.where(cmode == 2, pred_v, pl)))
-        predc = jnp.where(is_pcm, 0, predc)
+        if haspcm:
+            predc = jnp.where(is_pcm, 0, predc)
         resc = res_chroma[ic * 64:(ic + 1) * 64]
         ctiles.append(jnp.clip(predc + resc, 0, 255))
     ctile = jnp.concatenate(ctiles, axis=0)          # [128, L]

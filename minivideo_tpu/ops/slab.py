@@ -186,7 +186,8 @@ def _idct4_slab(d, gw):
 
 
 def residual_from_slabs(coefL, coefC, dcs, meta,
-                        t4, t8, tcb, tcr, p4, p8, pc, hh16, hh8c):
+                        t4, t8, tcb, tcr, p4, p8, pc, hh16, hh8c,
+                        has8x8=True, haspcm=True):
     """Dequant + IDCT + pixel assembly on one wave's slabs.
 
     coefL [256, L] / coefC [128, L] / dcs [24, L] int32 (slab layouts in
@@ -194,6 +195,13 @@ def residual_from_slabs(coefL, coefC, dcs, meta,
     scale_tables / module constants.  Returns (res_luma [256, L] sublane
     = 16*Y + X, res_chroma [128, L] sublane = 64*ic + 8*Y + X), int32 —
     bit-exact vs ops/recon.build_residuals (tests/test_slab.py).
+
+    has8x8 / haspcm are STATIC specialization flags: when False the 8x8
+    dequant+IDCT(+assembly matmul) and the PCM pass-through selects are
+    compiled out entirely — sound when the stream's PPS has
+    transform_8x8_mode off / the batch contains no I_PCM macroblocks
+    (PackedFrames.features decides; tests/test_recon_fused.py pins the
+    specialized kernels bit-exact vs the oracle).
     """
     L = coefL.shape[-1]
     kind = meta[R_KIND:R_KIND + 1]
@@ -224,21 +232,26 @@ def residual_from_slabs(coefL, coefC, dcs, meta,
     d4 = jnp.concatenate([jnp.where(is16, dcd, d4[0:16]), d4[16:]], axis=0)
     out4 = _idct4_slab(d4, 16)                        # rows 64y + 16x + b
 
-    # ---- luma 8x8 interpretation ------------------------------------------
-    v8 = coefL * _sel_scale(t8, ym6, L)
-    d8 = jnp.where(ydiv >= 6, v8 << jnp.maximum(ydiv - 6, 0),
-                   (v8 + (32 >> jnp.minimum(ydiv, 5)))
-                   >> jnp.maximum(6 - ydiv, 0))
-    cj = [d8[32 * j:32 * (j + 1)] for j in range(8)]  # rows 4i + blk
-    fx8 = _idct8_stage_t(cj)
-    g8 = [jnp.concatenate([fx8[x][4 * i:4 * (i + 1)] for x in range(8)],
-                          axis=0) for i in range(8)]  # rows 4x + blk
-    out8 = (jnp.concatenate(_idct8_stage_t(g8), axis=0) + 32) >> 6
+    # ---- luma 8x8 interpretation (compiled out when has8x8=False) ---------
+    if has8x8:
+        v8 = coefL * _sel_scale(t8, ym6, L)
+        d8 = jnp.where(ydiv >= 6, v8 << jnp.maximum(ydiv - 6, 0),
+                       (v8 + (32 >> jnp.minimum(ydiv, 5)))
+                       >> jnp.maximum(6 - ydiv, 0))
+        cj = [d8[32 * j:32 * (j + 1)] for j in range(8)]  # rows 4i + blk
+        fx8 = _idct8_stage_t(cj)
+        g8 = [jnp.concatenate([fx8[x][4 * i:4 * (i + 1)]
+                               for x in range(8)],
+                              axis=0) for i in range(8)]  # rows 4x + blk
+        out8 = (jnp.concatenate(_idct8_stage_t(g8), axis=0) + 32) >> 6
 
     # ---- luma assembly -----------------------------------------------------
-    resl4 = _mm(p4, jnp.where(ispcm, coefL, out4))
-    resl8 = _mm(p8, out8)
-    res_luma = jnp.where(is8, resl8, resl4)
+    resl4 = _mm(p4, jnp.where(ispcm, coefL, out4) if haspcm else out4)
+    if has8x8:
+        resl8 = _mm(p8, out8)
+        res_luma = jnp.where(is8, resl8, resl4)
+    else:
+        res_luma = resl4
 
     # ---- chroma ------------------------------------------------------------
     sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
@@ -256,7 +269,7 @@ def residual_from_slabs(coefL, coefC, dcs, meta,
     dcdc = (fdcc * scc[0:8] << divc[0:8]) >> 5
     dC = jnp.concatenate([dcdc, dC[8:]], axis=0)
     outc = _idct4_slab(dC, 8)                         # rows 32y + 8x + q
-    res_chroma = _mm(pc, jnp.where(ispcm, coefC, outc))
+    res_chroma = _mm(pc, jnp.where(ispcm, coefC, outc) if haspcm else outc)
     return res_luma, res_chroma
 
 

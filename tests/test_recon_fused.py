@@ -67,6 +67,32 @@ def test_fused_all_kinds_mixed():
     _compare_fused(data)
 
 
+def test_fused_specialized_matches_full():
+    """The has8x8=False/haspcm=False specialized kernel (what production
+    compiles for baseline-profile streams) is bit-identical to the full
+    kernel on a stream without 8x8/PCM macroblocks."""
+    from minivideo_tpu.ops.recon_fused import make_reconstruct_fused
+    import jax.numpy as jnp
+    data = make_stream(width_mbs=5, height_mbs=3, n_pictures=2, seed=91,
+                       mb_kinds=("i16", "i4"), density=0.4,
+                       allow_pcm=False)
+    frames, sps, pps = _parse_stream(data)
+    packed = pack_frames(frames, sps, pps)
+    assert packed.has8x8 is False and packed.haspcm is False
+    arrays = {k: jnp.asarray(v) for k, v in packed.arrays.items()}
+    cb_off, cr_off = packed.chroma_qp_off
+    outs = []
+    for has8x8, haspcm in ((True, True), (False, False)):
+        fn = make_reconstruct_fused(packed.wmb, packed.hmb, packed.batch,
+                                    interpret=True, has8x8=has8x8,
+                                    haspcm=haspcm)
+        outs.append([np.asarray(a) for a in
+                     fn(arrays, jnp.asarray(packed.ls4),
+                        jnp.asarray(packed.ls8), cb_off, cr_off)])
+    for full, lite, name in zip(outs[0], outs[1], ("Y", "Cb", "Cr")):
+        np.testing.assert_array_equal(full, lite, err_msg=name)
+
+
 def test_fused_single_frame_and_odd_geometry():
     for wmb, hmb, npic in ((9, 2, 1), (2, 7, 2), (1, 1, 2)):
         data = make_stream(width_mbs=wmb, height_mbs=hmb, n_pictures=npic,

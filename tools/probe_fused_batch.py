@@ -2,7 +2,10 @@
 """Device-only throughput probe for the fused engine at various batch
 sizes (1080p, slot-staged synthetic coefficients).
 
-Usage: python tools/probe_fused_batch.py [batch ...]   (default: 16 32)
+Usage: python tools/probe_fused_batch.py [batch ...] [--lite]
+       (default: 16 32; --lite = the has8x8=False/haspcm=False
+       specialized kernel that production picks for baseline-profile
+       streams)
 
 Measures the full device pass (slot transpose + meta skew + Pallas wave
 kernel + unskew) with pipelined dispatch, like bench.py's device stage.
@@ -59,15 +62,20 @@ def main():
     import jax.numpy as jnp
     from minivideo_tpu.ops.recon_fused import make_reconstruct_fused_slots
 
-    batches = [int(a) for a in sys.argv[1:]] or [16, 32]
-    print("device:", jax.devices()[0], flush=True)
+    lite = "--lite" in sys.argv
+    batches = [int(a) for a in sys.argv[1:] if not a.startswith("-")] \
+        or [16, 32]
+    print("device:", jax.devices()[0],
+          "| variant:", "lite (has8x8=F haspcm=F)" if lite else "full",
+          flush=True)
     for B in batches:
         arrays, luma, chroma, dcs, ls4, ls8 = synth_slots(B)
         args = ({k: jnp.asarray(v) for k, v in arrays.items()},
                 jnp.asarray(luma), jnp.asarray(chroma), jnp.asarray(dcs),
                 jnp.asarray(ls4), jnp.asarray(ls8), 0, 0)
         try:
-            fn = make_reconstruct_fused_slots(WMB, HMB, B)
+            fn = make_reconstruct_fused_slots(
+                WMB, HMB, B, has8x8=not lite, haspcm=not lite)
             t0 = time.time()
             y, cb, cr = fn(*args)
             np.asarray(y[0, 0, :2])
