@@ -81,7 +81,7 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
                  meta_ref, coefl_ref, coefc_ref, dcs_ref,
                  t4_ref, t8_ref, tcb_ref, tcr_ref,
                  p4_ref, p8_ref, pc_ref, hh16_ref, hh8c_ref,
-                 s4m_ref, s4r_ref, s4s_ref, s8m_ref, s8r_ref, s8s_ref,
+                 s4_ref, s8_ref,
                  outy_ref, outc_ref,
                  row_y, row_c, botA_y, botB_y, botA_c, botB_c, tile_scr,
                  *, maxw, L, has8x8, haspcm):
@@ -153,8 +153,7 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
         left_col, corner, top_row, tr_row, left_c, corner_cb, corner_cr,
         top_c, kind, al, at, atl, atr, parsed, modes4, modes8,
         i16_mode, cmode, res_luma, res_chroma,
-        sel4=(s4m_ref[...], s4r_ref[...], s4s_ref[...]),
-        sel8=(s8m_ref[...], s8r_ref[...], s8s_ref[...]),
+        sel4=s4_ref[...], sel8=s8_ref[...],
         tile_ref=tile_scr, has8x8=has8x8, haspcm=haspcm)
 
     # uint8 output stores: values are already clipped to [0, 255] and
@@ -210,12 +209,8 @@ def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False,
             pl.BlockSpec((128, 128), lambda w, *_: (0, 0)),
             pl.BlockSpec((16, 16), lambda w, *_: (0, 0)),
             pl.BlockSpec((8, 8), lambda w, *_: (0, 0)),
-            pl.BlockSpec((144, 13), lambda w, *_: (0, 0)),
-            pl.BlockSpec((144,), lambda w, *_: (0,)),
-            pl.BlockSpec((144,), lambda w, *_: (0,)),
-            pl.BlockSpec((576, 25), lambda w, *_: (0, 0)),
-            pl.BlockSpec((576,), lambda w, *_: (0,)),
-            pl.BlockSpec((576,), lambda w, *_: (0,)),
+            pl.BlockSpec((144, 14), lambda w, *_: (0, 0)),
+            pl.BlockSpec((576, 26), lambda w, *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 256, L), lambda w, *_: (w, 0, 0)),
@@ -267,9 +262,7 @@ def _kernel_call(kernel, g, batch, meta_s, coefl_s, coefc_s, dcs_s,
         t4, t8, tcb, tcr,
         jnp.asarray(sl.P4), jnp.asarray(sl.P8), jnp.asarray(sl.PC),
         jnp.asarray(sl.HH16), jnp.asarray(sl.HH8C),
-        jnp.asarray(_SEL4_T[0]), jnp.asarray(_SEL4_T[1]),
-        jnp.asarray(_SEL4_T[2]), jnp.asarray(_SEL8_T[0]),
-        jnp.asarray(_SEL8_T[1]), jnp.asarray(_SEL8_T[2]))
+        jnp.asarray(_SEL4_T), jnp.asarray(_SEL8_T))
     return unskew_fused(out_y, out_c, g, batch)
 
 

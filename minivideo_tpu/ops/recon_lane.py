@@ -57,36 +57,45 @@ from .recon_wave import (_BLK_X, _BLK_Y, _SEL4, _SEL8, pack_skewed,
 
 
 def _sel_T(sel):
+    """Transposed selection matrix with each output row's rounding
+    constant and shift FOLDED IN: row o computes
+    (sum_s M[s,o]*refs[s] + rnd[o]) >> shift[o] as
+    floor(dot(aug[o], [refs; 1])).  Exact in f32: taps/2^shift have
+    granule 1/4 (shift <= 2), partial sums stay below 2^17 quarter
+    units, and all taps are non-negative so predictions are >= 0 and
+    the int-cast truncation IS the spec's flooring shift.  Kills the
+    per-block rnd-add + shift-select vector ops in the wave body."""
     M, rnd, shift = sel
-    return (np.ascontiguousarray(M.T), rnd, shift)
+    assert M.min() >= 0.0 and shift.max() <= 2
+    sc = (1.0 / np.left_shift(1, shift.reshape(-1))).astype(np.float32)
+    MT = np.ascontiguousarray(M.T).astype(np.float32) * sc[:, None]
+    aug = np.concatenate(
+        [MT, (rnd.reshape(-1) * sc)[:, None].astype(np.float32)], axis=1)
+    return np.ascontiguousarray(aug)
 
 
-_SEL4_T = _sel_T(_SEL4)   # M.T [144, 13] f32, rnd [144], shift [144]
-_SEL8_T = _sel_T(_SEL8)   # M.T [576, 25] f32
+_SEL4_T = _sel_T(_SEL4)   # [144, 14] f32 (13 refs + 1 bias column)
+_SEL8_T = _sel_T(_SEL8)   # [576, 26]
 
 
 def _predict_lane(s, selT, mode, dc, n):
     """s [S, L] int32 samples in [0, 255]; mode/dc [1, L].
 
     Returns the mode-selected prediction as a flat [n*n, L] slab
-    (sublane = n*y + x).  One exact f32 MXU matmul computes all 9
-    directional modes; DC (mode 2) is substituted from `dc`.
+    (sublane = n*y + x).  One exact f32 MXU matmul (rounding + shift
+    folded into selT, see _sel_T) computes all 9 directional modes; DC
+    (mode 2) is substituted from `dc`.
     """
-    MT, rnd_flat, shift_flat = selT
     nn = n * n
+    ones = jnp.ones((1, s.shape[-1]), jnp.float32)
+    s_aug = jnp.concatenate([s.astype(jnp.float32), ones], axis=0)
     acc = jax.lax.dot_general(
-        MT, s.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        selT, s_aug, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32)
     out = jnp.zeros((nn,) + acc.shape[1:], jnp.int32)
     for m in range(9):
-        if m == 2:
-            val = jnp.broadcast_to(dc, out.shape)
-        else:
-            a = acc[m * nn:(m + 1) * nn]
-            a = a + jnp.asarray(rnd_flat[m * nn:(m + 1) * nn])[:, None]
-            sh = jnp.asarray(shift_flat[m * nn:(m + 1) * nn])[:, None]
-            # tap shifts are only ever 0, 1 or 2
-            val = jnp.where(sh == 0, a, jnp.where(sh == 1, a >> 1, a >> 2))
+        val = (jnp.broadcast_to(dc, out.shape) if m == 2
+               else acc[m * nn:(m + 1) * nn])
         out = jnp.where(mode == m, val, out)
     return out
 
