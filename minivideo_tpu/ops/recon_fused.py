@@ -84,7 +84,7 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
                  s4_ref, s8_ref,
                  outy_ref, outc_ref,
                  row_y, row_c, botA_y, botB_y, botA_c, botB_c, tile_scr,
-                 *, maxw, L, has8x8, haspcm):
+                 *, maxw, L, has8x8, haspcm, ablate=()):
     """Grid (w,): one wave of all B frames; dr0s/shtop scalar-prefetched.
 
     Blocks: meta [1, META_ROWS, L] i32; coefl [1, 256, L] i16 coefficient
@@ -147,14 +147,15 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
         dcs_ref[0].astype(jnp.int32), meta,
         t4_ref[...], t8_ref[...], tcb_ref[...], tcr_ref[...],
         p4_ref[...], p8_ref[...], pc_ref[...],
-        hh16_ref[...], hh8c_ref[...], has8x8=has8x8, haspcm=haspcm)
+        hh16_ref[...], hh8c_ref[...], has8x8=has8x8, haspcm=haspcm,
+        ablate=ablate)
 
     tile, ctile = wave_compute_lane(
         left_col, corner, top_row, tr_row, left_c, corner_cb, corner_cr,
         top_c, kind, al, at, atl, atr, parsed, modes4, modes8,
         i16_mode, cmode, res_luma, res_chroma,
         sel4=s4_ref[...], sel8=s8_ref[...],
-        tile_ref=tile_scr, has8x8=has8x8, haspcm=haspcm)
+        tile_ref=tile_scr, has8x8=has8x8, haspcm=haspcm, ablate=ablate)
 
     # uint8 output stores: values are already clipped to [0, 255] and
     # halving the written bytes also halves the unskew pass's reads
@@ -185,7 +186,7 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
 
 
 def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False,
-                  has8x8: bool = True, haspcm: bool = True):
+                  has8x8: bool = True, haspcm: bool = True, ablate=()):
     g = skew_tables(wmb, hmb)
     n_waves, maxw = g["n_waves"], g["maxw"]
     L = batch * maxw
@@ -229,7 +230,7 @@ def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False,
 
     return pl.pallas_call(
         partial(_wave_kernel, maxw=maxw, L=L, has8x8=has8x8,
-                haspcm=haspcm),
+                haspcm=haspcm, ablate=tuple(ablate)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_waves, 256, L), jnp.uint8),
@@ -291,7 +292,8 @@ def make_reconstruct_fused(wmb: int, hmb: int, batch: int,
 
 def make_reconstruct_fused_slots(wmb: int, hmb: int, batch: int,
                                  interpret: bool = False,
-                                 has8x8: bool = True, haspcm: bool = True):
+                                 has8x8: bool = True, haspcm: bool = True,
+                                 ablate=()):
     """Jitted reconstructor over slot-ordered slab staging (the native
     parser path): luma_slab [B, n_waves*maxw, 256] i16, chroma_slab
     [B, ., 128] i16, dc_slab [B, ., 32] i16, plus raster small arrays
@@ -299,7 +301,8 @@ def make_reconstruct_fused_slots(wmb: int, hmb: int, batch: int,
     slab (slab.slot_feed); no gathers."""
     g = skew_tables(wmb, hmb)
     g["wmb"], g["hmb"] = wmb, hmb
-    kernel = _build_kernel(wmb, hmb, batch, interpret, has8x8, haspcm)
+    kernel = _build_kernel(wmb, hmb, batch, interpret, has8x8, haspcm,
+                           ablate)
 
     def recon(arrays, luma_slab, chroma_slab, dc_slab,
               ls4, ls8, cb_off, cr_off):

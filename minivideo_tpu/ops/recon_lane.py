@@ -193,7 +193,7 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
                       corner_cr, top_c, kind, al, at, atl, atr, parsed,
                       modes4, modes8, i16_mode, cmode, res_luma, res_chroma,
                       sel4=_SEL4_T, sel8=_SEL8_T, tile_ref=None,
-                      has8x8=True, haspcm=True):
+                      has8x8=True, haspcm=True, ablate=()):
     """One wave of one frame, MBs dense over lanes.
 
     Shapes: refs [16, L] (left_c/top_c carry Cb in sublanes 0-7, Cr in
@@ -207,7 +207,9 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
 
     has8x8 / haspcm are STATIC specialization flags (see
     ops/slab.residual_from_slabs): False compiles out the 4-step I8x8
-    prediction chain / the PCM zero-pred selects.
+    prediction chain / the PCM zero-pred selects.  `ablate` is a set of
+    section names ("i4", "i16", "chroma") compiled out for PERF TRIAGE
+    ONLY (tools/probe_fused_ablate.py) — never set in production.
 
     Returns (tile [256, L], ctile [128, L]) int32 in [0, 255]; unparsed
     lanes produce zeros.
@@ -267,7 +269,7 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
 
     # ---- I4x4: 16 static block steps ------------------------------------
     is4 = kind == KIND_I4x4
-    for b in range(16):
+    for b in range(16) if "i4" not in ablate else ():
         bx, by = int(_BLK_X[b]), int(_BLK_Y[b])
         if bx == 0:
             l4 = left_col[by:by + 4]
@@ -383,6 +385,14 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
     # ---- I16x16 / PCM ----------------------------------------------------
     is_pcm = kind == KIND_IPCM
     is16 = (kind == KIND_I16x16) | is_pcm if haspcm else kind == KIND_I16x16
+    if "i16" in ablate:
+        if use_ref:
+            tile_out = tile_ref[...]
+        else:
+            tile_out = tile
+        ctile = jnp.concatenate([res_chroma[:64], res_chroma[64:]], axis=0)
+        pmask = parsed > 0
+        return jnp.where(pmask, tile_out, 0), jnp.where(pmask, ctile, 0)
     pred_v = jnp.concatenate([top_row_m] * 16, axis=0)
     pred_h = jnp.concatenate(
         [jnp.broadcast_to(left_col[y:y + 1], (16, L)) for y in range(16)],
@@ -407,6 +417,10 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
         tile_out = tile
 
     # ---- chroma (per component) -------------------------------------------
+    if "chroma" in ablate:
+        pmask = parsed > 0
+        return (jnp.where(pmask, tile_out, 0),
+                jnp.where(pmask, res_chroma, 0))
     ctiles = []
     for ic, ccorner in ((0, corner_cb_m), (1, corner_cr_m)):
         lc = left_c_m[ic * 8:(ic + 1) * 8]

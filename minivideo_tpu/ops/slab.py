@@ -187,7 +187,7 @@ def _idct4_slab(d, gw):
 
 def residual_from_slabs(coefL, coefC, dcs, meta,
                         t4, t8, tcb, tcr, p4, p8, pc, hh16, hh8c,
-                        has8x8=True, haspcm=True):
+                        has8x8=True, haspcm=True, ablate=()):
     """Dequant + IDCT + pixel assembly on one wave's slabs.
 
     coefL [256, L] / coefC [128, L] / dcs [24, L] int32 (slab layouts in
@@ -204,6 +204,9 @@ def residual_from_slabs(coefL, coefC, dcs, meta,
     specialized kernels bit-exact vs the oracle).
     """
     L = coefL.shape[-1]
+    if "res" in ablate:        # perf-triage only: zero residuals
+        return (jnp.zeros((256, L), jnp.int32),
+                jnp.zeros((128, L), jnp.int32))
     kind = meta[R_KIND:R_KIND + 1]
     is8 = kind == KIND_I8x8
     is16 = kind == KIND_I16x16
