@@ -133,10 +133,11 @@ class _Recon:
         self.engine = resolve_engine(engine)
         self._fns = {}
 
-    def _make(self, wmb, hmb, batch):
+    def _make(self, wmb, hmb, batch, has8x8, haspcm):
         if self.engine == "fused":
             from ..ops.recon_fused import make_reconstruct_fused
-            return make_reconstruct_fused(wmb, hmb, batch)
+            return make_reconstruct_fused(wmb, hmb, batch,
+                                          has8x8=has8x8, haspcm=haspcm)
         from ..ops.recon_wave import make_reconstruct_wave
         return make_reconstruct_wave(wmb, hmb)
 
@@ -144,12 +145,14 @@ class _Recon:
         """packed: PackedFrames -> (Y, Cb, Cr) numpy, real batch rows."""
         n_dev = self.mesh.devices.size
         arrays, real_b = pad_to_multiple(packed.arrays, n_dev)
+        feats = (packed.has8x8, packed.haspcm)
         key = (packed.wmb, packed.hmb,
                arrays["mb_kind"].shape[0] if self.engine == "fused"
-               else None)
+               else None, feats if self.engine == "fused" else None)
         if key not in self._fns:
             self._fns[key] = self._make(packed.wmb, packed.hmb,
-                                        arrays["mb_kind"].shape[0])
+                                        arrays["mb_kind"].shape[0],
+                                        *feats)
         fn = self._fns[key]
         arrays_s, (ls4, ls8) = shard_packed(
             self.mesh, arrays, packed.ls4, packed.ls8)
