@@ -104,6 +104,28 @@ def _wave_kernel(dr0s_ref, shtop_ref, mr_ref, ml_ref,
         botA_c[...] = jnp.zeros_like(botA_c)
         botB_c[...] = jnp.zeros_like(botB_c)
 
+    if "state" in ablate:     # perf-triage: no boundary state machinery
+        meta = meta_ref[0]
+        res_luma, res_chroma = sl.residual_from_slabs(
+            coefl_ref[0].astype(jnp.int32), coefc_ref[0].astype(jnp.int32),
+            dcs_ref[0].astype(jnp.int32), meta,
+            t4_ref[...], t8_ref[...], tcb_ref[...], tcr_ref[...],
+            p4_ref[...], p8_ref[...], pc_ref[...],
+            hh16_ref[...], hh8c_ref[...], has8x8=has8x8, haspcm=haspcm,
+            ablate=ablate)
+        z16 = jnp.zeros((16, L), jnp.int32)
+        z1 = jnp.zeros((1, L), jnp.int32)
+        f1 = z1 > 0
+        tile, ctile = wave_compute_lane(
+            z16, z1, z16, z16, z16, z1, z1, z16, meta[0:1], f1, f1, f1,
+            f1, meta[1:2], meta[12:28], meta[8:12], meta[6:7], meta[7:8],
+            res_luma, res_chroma, sel4=s4_ref[...], sel8=s8_ref[...],
+            tile_ref=tile_scr, has8x8=has8x8, haspcm=haspcm,
+            ablate=ablate)
+        outy_ref[0] = tile.astype(jnp.uint8)
+        outc_ref[0] = ctile.astype(jnp.uint8)
+        return
+
     dr0 = dr0s_ref[w]
     shtop = shtop_ref[w]
     shtr = 1 - dr0
@@ -191,16 +213,26 @@ def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False,
     n_waves, maxw = g["n_waves"], g["maxw"]
     L = batch * maxw
 
+    # perf-triage index-map pins: a constant index map makes Mosaic treat
+    # the block as revisited (one copy, no per-wave DMA) — wrong data,
+    # meaningful timing (tools/probe_fused_ablate.py)
+    im_feed = ((lambda w, *_: (0, 0, 0)) if "pinfeed" in ablate
+               else (lambda w, *_: (w, 0, 0)))
+    im_meta = ((lambda w, *_: (0, 0, 0)) if "pinmeta" in ablate
+               else (lambda w, *_: (w, 0, 0)))
+    im_out = ((lambda w, *_: (0, 0, 0)) if "pinout" in ablate
+              else (lambda w, *_: (w, 0, 0)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_waves,),
         in_specs=[
             pl.BlockSpec((1, L), lambda w, *_: (0, 0)),
             pl.BlockSpec((1, L), lambda w, *_: (0, 0)),
-            pl.BlockSpec((1, sl.META_ROWS, L), lambda w, *_: (w, 0, 0)),
-            pl.BlockSpec((1, 256, L), lambda w, *_: (w, 0, 0)),
-            pl.BlockSpec((1, 128, L), lambda w, *_: (w, 0, 0)),
-            pl.BlockSpec((1, sl.DC_ROWS, L), lambda w, *_: (w, 0, 0)),
+            pl.BlockSpec((1, sl.META_ROWS, L), im_meta),
+            pl.BlockSpec((1, 256, L), im_feed),
+            pl.BlockSpec((1, 128, L), im_feed),
+            pl.BlockSpec((1, sl.DC_ROWS, L), im_feed),
             pl.BlockSpec((256, 6), lambda w, *_: (0, 0)),
             pl.BlockSpec((256, 6), lambda w, *_: (0, 0)),
             pl.BlockSpec((128, 6), lambda w, *_: (0, 0)),
@@ -214,8 +246,8 @@ def _build_kernel(wmb: int, hmb: int, batch: int, interpret: bool = False,
             pl.BlockSpec((576, 26), lambda w, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 256, L), lambda w, *_: (w, 0, 0)),
-            pl.BlockSpec((1, 128, L), lambda w, *_: (w, 0, 0)),
+            pl.BlockSpec((1, 256, L), im_out),
+            pl.BlockSpec((1, 128, L), im_out),
         ],
         scratch_shapes=[
             pltpu.VMEM((24, L), jnp.int32),
