@@ -90,33 +90,36 @@ def prep_slices(data):
 
 def parse_frame(arg):
     """One frame's entropy decode, written directly into the batch's
-    slot-ordered slab staging (host; no coefficient copies, and the
-    device prep over these buffers is one dense transpose)."""
+    device-layout (v2) slab staging: the native parser emits the fused
+    kernel's per-wave coefficient feeds AND meta rows, so the device
+    prep is a reshape (no copies, no transposes, no meta build)."""
     from minivideo_tpu.models.h264.syntax import FrameSyntax
-    from minivideo_tpu.native import parse_slice_native_slab
+    from minivideo_tpu.native import parse_slice_native_slab2
     staging, i, item = arg
     nalu, sh, sps, pps = item
     fs = FrameSyntax(sps.pic_width_in_mbs, sps.pic_height_in_map_units,
                      lite=True)
-    parse_slice_native_slab(fs, staging, i, nalu.rbsp,
-                            sh.data_bit_offset, sh.first_mb_in_slice,
-                            sh.qp, bool(pps.entropy_coding_mode_flag),
-                            bool(pps.transform_8x8_mode_flag))
+    parse_slice_native_slab2(
+        fs, staging, i, nalu.rbsp, sh.data_bit_offset,
+        sh.first_mb_in_slice, sh.qp,
+        bool(pps.entropy_coding_mode_flag),
+        bool(pps.transform_8x8_mode_flag),
+        cb_qp_off=pps.chroma_qp_index_offset,
+        cr_qp_off=pps.second_chroma_qp_index_offset)
     return fs
 
 
 def host_batch(slices, pool):
     """Entropy-decode one BATCH of frames (cycling the distinct encoded
-    frames) and pack to device layout.  Returns PackedFrames."""
-    from minivideo_tpu.ops.recon import (make_slab_staging,
-                                         pack_frames_slots)
-    staging = make_slab_staging(WMB, HMB, BATCH)
+    frames) into v2 staging.  Returns PackedFrames (slots=2)."""
+    from minivideo_tpu.ops.recon import (make_slab_staging2,
+                                         pack_frames_slots2)
+    staging = make_slab_staging2(WMB, HMB, BATCH)
     items = [(staging, i, slices[i % len(slices)])
              for i in range(BATCH)]
-    fss = list(pool.map(parse_frame, items))
+    list(pool.map(parse_frame, items))
     _, _, sps, pps = slices[0]
-    return pack_frames_slots(staging, [(fs, None) for fs in fss],
-                             sps, pps)
+    return pack_frames_slots2(staging, sps, pps)
 
 
 def main():
@@ -125,7 +128,7 @@ def main():
                       os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from minivideo_tpu.ops.recon_fused import make_reconstruct_fused_slots
+    from minivideo_tpu.ops.recon_fused import make_reconstruct_fused_slots2
 
     dev = jax.devices()[0]
     ncpu = os.cpu_count() or 2
@@ -156,22 +159,20 @@ def main():
     # this stream (has8x8 from the PPS, haspcm from the batch scan)
     pk0 = packs["cavlc"]
     log(f"bench: kernel variant: has8x8={pk0.has8x8} haspcm={pk0.haspcm}")
-    fn0 = make_reconstruct_fused_slots(WMB, HMB, BATCH,
-                                       has8x8=pk0.has8x8,
-                                       haspcm=pk0.haspcm)
+    fn0 = make_reconstruct_fused_slots2(WMB, HMB, BATCH,
+                                        has8x8=pk0.has8x8,
+                                        haspcm=pk0.haspcm)
     dev_fns = {}
     for entropy, pk in packs.items():
-        small = {k: jnp.asarray(v) for k, v in pk.arrays.items()
-                 if not k.endswith("_slab")}
+        meta_s = jnp.asarray(pk.arrays["meta_slab"])
         luma_s = jnp.asarray(pk.arrays["luma_slab"])
         chroma_s = jnp.asarray(pk.arrays["chroma_slab"])
         dc_s = jnp.asarray(pk.arrays["dc_slab"])
         ls4 = jnp.asarray(pk.ls4)
         ls8 = jnp.asarray(pk.ls8)
-        cb_off, cr_off = pk.chroma_qp_off
         dev_fns[entropy] = (
-            lambda s=small, l=luma_s, c=chroma_s, d=dc_s, a=ls4, b=ls8,
-            co=cb_off, cr=cr_off: fn0(s, l, c, d, a, b, co, cr))
+            lambda m=meta_s, l=luma_s, c=chroma_s, d=dc_s, a=ls4,
+            b=ls8: fn0(m, l, c, d, a, b))
 
     def sync(y):
         # tiny dependent readback: the only reliable fence on this

@@ -59,6 +59,14 @@ def load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_void_p),
     ]
+    lib.mv_parse_slice_slab2.restype = ctypes.c_int64
+    lib.mv_parse_slice_slab2.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
     _lib = lib
     return lib
 
@@ -108,6 +116,40 @@ def parse_slice_native(fs, rbsp: bytes, data_bit_offset: int,
         c = fs.chroma_ac[mb].reshape(2, 8, 8).astype(np.uint8)
         fs.pcm_cb[mb] = c[0]
         fs.pcm_cr[mb] = c[1]
+    return int(n)
+
+
+def parse_slice_native_slab2(fs, slabs, i: int, rbsp: bytes,
+                             data_bit_offset: int, first_mb: int,
+                             slice_qp: int, entropy_cabac: bool,
+                             transform8x8_mode: bool,
+                             cb_qp_off: int = 0,
+                             cr_qp_off: int = 0) -> int:
+    """Device-layout slab parse: coefficients land in `slabs` (the dict
+    from ops.recon.make_slab_staging2) as the fused kernel's per-wave
+    feeds [W, S, B, maxw] int16, and the parser ALSO emits the meta rows
+    [W, 40, B, maxw] int32 — device prep is a reshape (no transposes, no
+    meta build/skew gather; PERF.md round 3)."""
+    lib = load()
+    assert lib is not None
+    bufs = (ctypes.c_void_p * (len(_FIELDS) + 4))()
+    for j, name in enumerate(_FIELDS):
+        arr = getattr(fs, name)
+        assert isinstance(arr, np.ndarray) and arr.flags["C_CONTIGUOUS"]
+        bufs[j] = arr.ctypes.data_as(ctypes.c_void_p).value
+    for j, name in enumerate(("luma_slab", "chroma_slab", "dc_slab",
+                              "meta_slab")):
+        arr = slabs[name]
+        want = np.int32 if name == "meta_slab" else np.int16
+        assert arr.dtype == want and arr.flags["C_CONTIGUOUS"]
+        bufs[len(_FIELDS) + j] = arr.ctypes.data_as(ctypes.c_void_p).value
+    n = lib.mv_parse_slice_slab2(
+        rbsp, len(rbsp), data_bit_offset,
+        fs.width_mbs, fs.height_mbs, first_mb, slice_qp,
+        1 if entropy_cabac else 0, 1 if transform8x8_mode else 0,
+        slabs["maxw"], slabs["batch"], i, cb_qp_off, cr_qp_off, bufs)
+    if n < 0:
+        raise RuntimeError(f"native slab2 slice parse failed (code {n})")
     return int(n)
 
 

@@ -251,6 +251,7 @@ struct Geo {
   // slot are computed ONCE per MB (set_current) instead of per call —
   // the per-call `mb % wmb` divisions were measurable in the bin loop.
   int cur_mb = -1, cur_x = 0, cur_y = 0, cur_a = -1, cur_b = -1;
+  int cur_w = 0, cur_k = 0;
   int64_t cur_slot = 0;
   void set_current(int mb, int maxw) {
     cur_mb = mb;
@@ -262,7 +263,9 @@ struct Geo {
     if (cur_b < first_mb) cur_b = -1;
     int w = 2 * cur_y + cur_x;
     int r0w = w / 2 < hmb - 1 ? w / 2 : hmb - 1;
-    cur_slot = (int64_t)w * maxw + (r0w - cur_y);
+    cur_w = w;
+    cur_k = r0w - cur_y;
+    cur_slot = (int64_t)w * maxw + cur_k;
   }
   inline void mb_neighbors(int mb, int* a, int* b) const {
     if (mb == cur_mb) { *a = cur_a; *b = cur_b; return; }
@@ -792,6 +795,16 @@ struct SliceDec {
   int chroma_array_type = 1;
   int slab_mode = 0;
   int maxw = 0;                 // skew lane width (slab mode)
+  // slab layout v2 ("device layout"): buffers are [n_waves, S, B, maxw]
+  // — exactly the fused kernel's per-wave feed after one reshape, so
+  // the device-side slot transposes disappear (PERF.md round 3).  The
+  // parser also emits the meta rows (ops/slab.py META_ROWS layout) so
+  // the device-side meta build + skew gather disappears too.
+  int slab_v2 = 0;
+  int64_t Bm = 1;               // element stride = batch * maxw (v2)
+  int64_t boff = 0;             // bidx * maxw (v2)
+  int32_t* meta_slab = nullptr; // [n_waves][META_ROWS][B][maxw] (v2)
+  int cb_qp_off = 0, cr_qp_off = 0;
   int64_t stop_bit;
   CavlcCtx cav;
   CabacCtx cab;
@@ -805,13 +818,25 @@ struct SliceDec {
     int r0w = w / 2 < g.hmb - 1 ? w / 2 : g.hmb - 1;
     return (int64_t)w * maxw + (r0w - rr);
   }
+  // per-MB base offset into a slab with S sublane rows, and the element
+  // stride between rows: v1 record layout [slot][S] (stride 1), v2
+  // device layout [w][S][B][maxw] (stride B*maxw)
+  inline int64_t slab_base(int mb, int S) const {
+    int64_t slot = slot_of(mb);
+    if (!slab_v2) return slot * S;
+    int64_t w = slot / maxw, k = slot % maxw;
+    return w * S * Bm + boff + k;
+  }
+  inline int64_t es() const { return slab_v2 ? Bm : 1; }
 
   // coefficient stores: scan-ordered levels -> raster buffers (classic
-  // mode) or skew-slot slab records (slab mode; ops/slab.py layouts)
+  // mode) or slab records (slab mode; ops/slab.py layouts)
   void store_luma_dc(int mb, const int* lv) {
     if (slab_mode) {
-      int16_t* out = f.dc_slab + slot_of(mb) * 32;
-      for (int k = 0; k < 16; k++) out[kZigzag4[k]] = (int16_t)lv[k];
+      int16_t* out = f.dc_slab + slab_base(mb, 32);
+      const int64_t e = es();
+      for (int k = 0; k < 16; k++)
+        out[kZigzag4[k] * e] = (int16_t)lv[k];
     } else {
       int32_t* out = f.luma_dc + mb * 16;
       for (int k = 0; k < 16; k++) out[kZigzag4[k]] = lv[k];
@@ -819,9 +844,10 @@ struct SliceDec {
   }
   void store_luma4(int mb, int blk, const int* full) {
     if (slab_mode) {
-      int16_t* out = f.luma_slab + slot_of(mb) * 256;
+      int16_t* out = f.luma_slab + slab_base(mb, 256);
       const int* t = slab_tabs().l4[blk];
-      for (int k = 0; k < 16; k++) out[t[k]] = (int16_t)full[k];
+      const int64_t e = es();
+      for (int k = 0; k < 16; k++) out[t[k] * e] = (int16_t)full[k];
     } else {
       int32_t* out = f.luma_ac + (mb * 16 + blk) * 16;
       for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
@@ -829,9 +855,10 @@ struct SliceDec {
   }
   void store_luma8(int mb, int b8, const int* lv64) {
     if (slab_mode) {
-      int16_t* out = f.luma_slab + slot_of(mb) * 256;
+      int16_t* out = f.luma_slab + slab_base(mb, 256);
       const int* t = slab_tabs().l8[b8];
-      for (int k = 0; k < 64; k++) out[t[k]] = (int16_t)lv64[k];
+      const int64_t e = es();
+      for (int k = 0; k < 64; k++) out[t[k] * e] = (int16_t)lv64[k];
     } else {
       int32_t* out = f.luma8x8_coeff + (mb * 4 + b8) * 64;
       for (int k = 0; k < 64; k++) out[kZigzag8[k]] = lv64[k];
@@ -839,8 +866,9 @@ struct SliceDec {
   }
   void store_chroma_dc(int mb, int ic, const int* lv) {
     if (slab_mode) {
-      int16_t* out = f.dc_slab + slot_of(mb) * 32 + 16 + ic * 4;
-      for (int k = 0; k < 4; k++) out[k] = (int16_t)lv[k];
+      const int64_t e = es();
+      int16_t* out = f.dc_slab + slab_base(mb, 32) + (16 + ic * 4) * e;
+      for (int k = 0; k < 4; k++) out[k * e] = (int16_t)lv[k];
     } else {
       int32_t* out = f.chroma_dc + (mb * 2 + ic) * 4;
       for (int k = 0; k < 4; k++) out[k] = lv[k];
@@ -848,13 +876,51 @@ struct SliceDec {
   }
   void store_chroma4(int mb, int ic, int blk, const int* full) {
     if (slab_mode) {
-      int16_t* out = f.chroma_slab + slot_of(mb) * 128;
+      int16_t* out = f.chroma_slab + slab_base(mb, 128);
       const int* t = slab_tabs().c4[ic * 4 + blk];
-      for (int k = 0; k < 16; k++) out[t[k]] = (int16_t)full[k];
+      const int64_t e = es();
+      for (int k = 0; k < 16; k++) out[t[k] * e] = (int16_t)full[k];
     } else {
       int32_t* out = f.chroma_ac + ((mb * 2 + ic) * 4 + blk) * 16;
       for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
     }
+  }
+
+  // v2: emit this MB's meta rows (kind/parsed/availability/modes/QP
+  // deriveds — the ops/slab.py META_ROWS layout) straight into the
+  // kernel's [W, 40, B, maxw] feed.  Availability matches
+  // ops/slab.meta_raster: neighbor exists, already parsed, same slice
+  // (sequential raster parse from first_mb makes that `>= first_mb`).
+  void emit_meta(int mb) {
+    if (!meta_slab) return;
+    const int64_t e = Bm;
+    int32_t* m = meta_slab + (int64_t)g.cur_w * 40 * e + boff + g.cur_k;
+    auto put = [&](int row, int32_t v) { m[row * e] = v; };
+    int x = g.cur_x, y = g.cur_y;
+    put(0, f.mb_kind[mb]);
+    put(1, 1);
+    put(2, (x > 0 && mb - 1 >= g.first_mb) ? 1 : 0);
+    put(3, (y > 0 && mb - g.wmb >= g.first_mb) ? 1 : 0);
+    put(4, (x > 0 && y > 0 && mb - g.wmb - 1 >= g.first_mb) ? 1 : 0);
+    put(5, (x < g.wmb - 1 && y > 0 && mb - g.wmb + 1 >= g.first_mb)
+           ? 1 : 0);
+    put(6, f.i16_mode[mb]);
+    put(7, f.chroma_mode[mb]);
+    for (int i = 0; i < 4; i++)
+      put(8 + i, f.luma8x8_modes[mb * 4 + i]);
+    for (int i = 0; i < 16; i++)
+      put(12 + i, f.luma4x4_modes[mb * 16 + i]);
+    int qp = f.qpy[mb];
+    put(28, qp % 6);
+    put(29, qp / 6);
+    int qcb = qp + cb_qp_off;
+    qcb = kQpcFromQpi[qcb < 0 ? 0 : (qcb > 51 ? 51 : qcb)];
+    put(30, qcb % 6);
+    put(31, qcb / 6);
+    int qcr = qp + cr_qp_off;
+    qcr = kQpcFromQpi[qcr < 0 ? 0 : (qcr > 51 ? 51 : qcr)];
+    put(32, qcr % 6);
+    put(33, qcr / 6);
   }
 
   int parse_mb_cavlc(int mb);
@@ -871,12 +937,13 @@ void SliceDec::apply_pcm(int mb) {
   r.align();
   if (slab_mode) {
     const SlabTabs& t = slab_tabs();
-    int16_t* y = f.luma_slab + slot_of(mb) * 256;
+    const int64_t e = es();
+    int16_t* y = f.luma_slab + slab_base(mb, 256);
     for (int i = 0; i < 256; i++)
-      y[t.pcm_y[i]] = (int16_t)r.read_bits(8);
-    int16_t* c = f.chroma_slab + slot_of(mb) * 128;
+      y[t.pcm_y[i] * e] = (int16_t)r.read_bits(8);
+    int16_t* c = f.chroma_slab + slab_base(mb, 128);
     for (int i = 0; i < 128; i++)
-      c[t.pcm_c[i]] = (int16_t)r.read_bits(8);
+      c[t.pcm_c[i] * e] = (int16_t)r.read_bits(8);
   } else {
     int32_t* y = f.luma_ac + mb * 256;
     for (int i = 0; i < 256; i++) y[i] = (int32_t)r.read_bits(8);
@@ -1172,7 +1239,9 @@ static int64_t parse_slice_impl(
     const uint8_t* rbsp, int64_t rbsp_len_bytes, int64_t data_bit_offset,
     int32_t wmb, int32_t hmb, int32_t first_mb, int32_t slice_qp,
     int32_t entropy_cabac, int32_t transform8x8_mode,
-    void** bufs, int32_t slab_mode, int32_t maxw) {
+    void** bufs, int32_t slab_mode, int32_t maxw,
+    int32_t slab_v2 = 0, int32_t batch = 0, int32_t bidx = 0,
+    int32_t cb_qp_off = 0, int32_t cr_qp_off = 0) {
   SliceDec d;
   d.r.data = rbsp;
   d.r.nbits = rbsp_len_bytes * 8;
@@ -1207,6 +1276,14 @@ static int64_t parse_slice_impl(
     d.f.chroma_slab = (int16_t*)bufs[i++];
     d.f.dc_slab = (int16_t*)bufs[i++];
   }
+  d.slab_v2 = slab_v2;
+  if (slab_v2) {
+    d.meta_slab = (int32_t*)bufs[i++];
+    d.Bm = (int64_t)batch * maxw;
+    d.boff = (int64_t)bidx * maxw;
+    d.cb_qp_off = cb_qp_off;
+    d.cr_qp_off = cr_qp_off;
+  }
 
   d.g.wmb = wmb;
   d.g.hmb = hmb;
@@ -1235,6 +1312,7 @@ static int64_t parse_slice_impl(
       if (mb >= n_mbs) return -2;
       d.g.set_current(mb, maxw);
       if (d.parse_mb_cabac(mb) < 0 || d.r.error) return -3;
+      d.emit_meta(mb);
       mb++;
       if (d.cab.e.terminate()) break;
     }
@@ -1255,6 +1333,7 @@ static int64_t parse_slice_impl(
       if (mb >= n_mbs) return -2;
       d.g.set_current(mb, maxw);
       if (d.parse_mb_cavlc(mb) < 0 || d.r.error) return -3;
+      d.emit_meta(mb);
       mb++;
     }
   }
@@ -1287,6 +1366,24 @@ int64_t mv_parse_slice_slab(
   return parse_slice_impl(rbsp, rbsp_len_bytes, data_bit_offset, wmb, hmb,
                           first_mb, slice_qp, entropy_cabac,
                           transform8x8_mode, bufs, 1, maxw);
+}
+
+// Device-layout (v2) slab variant: coefficient buffers are the fused
+// kernel's per-wave feeds [n_waves, S, batch, maxw] int16 and the
+// parser ALSO emits the meta rows [n_waves, 40, batch, maxw] int32
+// (kind/parsed/availability/modes/QP deriveds), so device prep is a
+// reshape — no slot transposes, no meta build, no skew gather.  bufs
+// carries the 22 classic pointers + luma/chroma/dc slab + meta slab.
+int64_t mv_parse_slice_slab2(
+    const uint8_t* rbsp, int64_t rbsp_len_bytes, int64_t data_bit_offset,
+    int32_t wmb, int32_t hmb, int32_t first_mb, int32_t slice_qp,
+    int32_t entropy_cabac, int32_t transform8x8_mode, int32_t maxw,
+    int32_t batch, int32_t bidx, int32_t cb_qp_off, int32_t cr_qp_off,
+    void** bufs) {
+  return parse_slice_impl(rbsp, rbsp_len_bytes, data_bit_offset, wmb, hmb,
+                          first_mb, slice_qp, entropy_cabac,
+                          transform8x8_mode, bufs, 1, maxw,
+                          1, batch, bidx, cb_qp_off, cr_qp_off);
 }
 
 }  // extern "C"

@@ -108,11 +108,13 @@ class PackedFrames:
     ls4: np.ndarray       # [3, 6, 4, 4] luma/Cb/Cr intra LevelScale
     ls8: np.ndarray       # [6, 8, 8]
     chroma_qp_off: tuple  # (cb_offset, cr_offset)
-    slots: bool = False
+    slots: int = 0        # 0 raster, 1 slot records, 2 device layout
     has8x8: bool = True   # PPS transform_8x8_mode_flag (static per stream)
 
     @property
     def batch(self) -> int:
+        if self.slots == 2:
+            return self.arrays["meta_slab"].shape[2]
         return self.arrays["mb_kind"].shape[0]
 
     @property
@@ -120,6 +122,9 @@ class PackedFrames:
         """True if any MB in the batch is I_PCM (host scan; decides the
         kernel specialization variant — at most two variants compile
         per geometry, both persistently cached)."""
+        if self.slots == 2:
+            return bool(np.any(np.asarray(self.arrays["meta_slab"][:, 0])
+                               == KIND_IPCM))
         return bool(np.any(np.asarray(self.arrays["mb_kind"])
                            == KIND_IPCM))
 
@@ -246,6 +251,44 @@ def make_slab_staging(wmb: int, hmb: int, batch: int) -> dict:
         "dc_slab": np.zeros((B, n_slots, 32), np.int16),
         "maxw": g["maxw"],
     }
+
+
+def make_slab_staging2(wmb: int, hmb: int, batch: int) -> dict:
+    """Device-layout staging for the native parser's v2 slab mode: the
+    buffers ARE the fused kernel's per-wave feeds ([W, S, B, maxw] i16
+    coefficients + [W, META_ROWS, B, maxw] i32 meta) so device prep is
+    one reshape.  np.zeros maps lazy zero pages; unwritten slots keep
+    parsed=0, which also replaces the skew-validity mask."""
+    from .recon_wave import skew_tables
+    from .slab import META_ROWS
+    g = skew_tables(wmb, hmb)
+    W, maxw = g["n_waves"], g["maxw"]
+    B = batch
+    return {
+        "luma_slab": np.zeros((W, 256, B, maxw), np.int16),
+        "chroma_slab": np.zeros((W, 128, B, maxw), np.int16),
+        "dc_slab": np.zeros((W, 32, B, maxw), np.int16),
+        "meta_slab": np.zeros((W, META_ROWS, B, maxw), np.int32),
+        "maxw": maxw,
+        "batch": B,
+    }
+
+
+def pack_frames_slots2(staging: dict, sps, pps) -> PackedFrames:
+    """PackedFrames over v2 (device-layout) staging: the arrays are the
+    staging buffers themselves; all per-MB metadata already rides in the
+    parser-emitted meta slab."""
+    wmb = sps.pic_width_in_mbs
+    hmb = sps.pic_height_in_map_units
+    arrays = {k: staging[k] for k in ("luma_slab", "chroma_slab",
+                                      "dc_slab", "meta_slab")}
+    ls4 = np.stack([level_scale_4x4_np(pps.scaling_list_4x4[i])
+                    for i in range(3)])
+    ls8 = level_scale_8x8_np(pps.scaling_list_8x8[0])
+    return PackedFrames(wmb, hmb, arrays, ls4, ls8,
+                        (pps.chroma_qp_index_offset,
+                         pps.second_chroma_qp_index_offset), slots=2,
+                        has8x8=bool(pps.transform_8x8_mode_flag))
 
 
 def pack_frames_slots(staging: dict, frames, sps, pps) -> PackedFrames:

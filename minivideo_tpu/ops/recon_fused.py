@@ -349,6 +349,33 @@ def make_reconstruct_fused_slots(wmb: int, hmb: int, batch: int,
     return jax.jit(recon)
 
 
+def make_reconstruct_fused_slots2(wmb: int, hmb: int, batch: int,
+                                  interpret: bool = False,
+                                  has8x8: bool = True,
+                                  haspcm: bool = True, ablate=()):
+    """Jitted reconstructor over DEVICE-LAYOUT (v2) staging: the native
+    parser emits the kernel's per-wave feeds directly (meta_slab
+    [W, META_ROWS, B, maxw] i32 + coefficient slabs [W, S, B, maxw]
+    i16), so prep here is a reshape — no slot transposes, no meta
+    build, no skew gather (PERF.md round-3 decomposition)."""
+    g = skew_tables(wmb, hmb)
+    g["wmb"], g["hmb"] = wmb, hmb
+    W, maxw = g["n_waves"], g["maxw"]
+    L = batch * maxw
+    kernel = _build_kernel(wmb, hmb, batch, interpret, has8x8, haspcm,
+                           ablate)
+
+    def recon(meta_slab, luma_slab, chroma_slab, dc_slab, ls4, ls8):
+        meta_s = meta_slab.reshape(W, sl.META_ROWS, L)
+        coefl_s = luma_slab.reshape(W, 256, L)
+        coefc_s = chroma_slab.reshape(W, 128, L)
+        dcs_s = dc_slab.reshape(W, sl.DC_ROWS, L)
+        return _kernel_call(kernel, g, batch, meta_s, coefl_s, coefc_s,
+                            dcs_s, ls4, ls8)
+
+    return jax.jit(recon)
+
+
 _CACHE = {}
 
 
@@ -359,9 +386,20 @@ def reconstruct_frames_fused(packed: PackedFrames, interpret=False):
     host scan of the batch)."""
     has8x8 = packed.has8x8
     haspcm = packed.haspcm
-    key = (packed.wmb, packed.hmb, packed.batch, packed.slots, interpret,
-           has8x8, haspcm)
+    key = (packed.wmb, packed.hmb, packed.batch, int(packed.slots),
+           interpret, has8x8, haspcm)
     cb_off, cr_off = packed.chroma_qp_off
+    if packed.slots == 2:
+        if key not in _CACHE:
+            _CACHE[key] = make_reconstruct_fused_slots2(
+                packed.wmb, packed.hmb, packed.batch, interpret,
+                has8x8, haspcm)
+        return _CACHE[key](
+            jnp.asarray(packed.arrays["meta_slab"]),
+            jnp.asarray(packed.arrays["luma_slab"]),
+            jnp.asarray(packed.arrays["chroma_slab"]),
+            jnp.asarray(packed.arrays["dc_slab"]),
+            jnp.asarray(packed.ls4), jnp.asarray(packed.ls8))
     if packed.slots:
         if key not in _CACHE:
             _CACHE[key] = make_reconstruct_fused_slots(

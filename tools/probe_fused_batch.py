@@ -54,28 +54,67 @@ def synth_slots(batch, seed=0):
     return arrays, luma, chroma, dcs, ls4, ls8
 
 
+def synth_v2(batch, seed=0):
+    """Synthetic device-layout (v2) staging feeds."""
+    from minivideo_tpu.ops import slab as sl
+    from minivideo_tpu.ops.recon_wave import skew_tables
+    rng = np.random.default_rng(seed)
+    g = skew_tables(WMB, HMB)
+    W, maxw = g["n_waves"], g["maxw"]
+    B = batch
+    meta = np.zeros((W, sl.META_ROWS, B, maxw), np.int32)
+    meta[:, 0] = rng.integers(0, 2, (W, B, maxw))
+    meta[:, 1] = 1
+    meta[:, 2:6] = rng.integers(0, 2, (W, 4, B, maxw))
+    meta[:, 6] = rng.integers(0, 4, (W, B, maxw))
+    meta[:, 7] = rng.integers(0, 4, (W, B, maxw))
+    meta[:, 8:28] = rng.integers(0, 9, (W, 20, B, maxw))
+    qp = rng.integers(10, 45, (W, B, maxw))
+    meta[:, 28], meta[:, 29] = qp % 6, qp // 6
+    meta[:, 30], meta[:, 31] = qp % 6, qp // 6
+    meta[:, 32], meta[:, 33] = qp % 6, qp // 6
+    luma = rng.integers(-6, 7, (W, 256, B, maxw)).astype(np.int16)
+    chroma = rng.integers(-4, 5, (W, 128, B, maxw)).astype(np.int16)
+    dcs = rng.integers(-8, 9, (W, 32, B, maxw)).astype(np.int16)
+    from minivideo_tpu.ops.transform import (level_scale_4x4_np,
+                                             level_scale_8x8_np)
+    ls4 = np.stack([level_scale_4x4_np(np.full(16, 16, np.int32))] * 3)
+    ls8 = level_scale_8x8_np(np.full(64, 16, np.int32))
+    return meta, luma, chroma, dcs, ls4, ls8
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from minivideo_tpu.ops.recon_fused import make_reconstruct_fused_slots
+    from minivideo_tpu.ops.recon_fused import (
+        make_reconstruct_fused_slots, make_reconstruct_fused_slots2)
 
     lite = "--lite" in sys.argv
+    v2 = "--v2" in sys.argv
     batches = [int(a) for a in sys.argv[1:] if not a.startswith("-")] \
         or [16, 32]
     print("device:", jax.devices()[0],
           "| variant:", "lite (has8x8=F haspcm=F)" if lite else "full",
+          "| staging:", "v2" if v2 else "v1",
           flush=True)
     for B in batches:
-        arrays, luma, chroma, dcs, ls4, ls8 = synth_slots(B)
-        args = ({k: jnp.asarray(v) for k, v in arrays.items()},
-                jnp.asarray(luma), jnp.asarray(chroma), jnp.asarray(dcs),
-                jnp.asarray(ls4), jnp.asarray(ls8), 0, 0)
+        if v2:
+            meta, luma, chroma, dcs, ls4, ls8 = synth_v2(B)
+            args = tuple(jnp.asarray(a)
+                         for a in (meta, luma, chroma, dcs, ls4, ls8))
+        else:
+            arrays, luma, chroma, dcs, ls4, ls8 = synth_slots(B)
+            args = ({k: jnp.asarray(v) for k, v in arrays.items()},
+                    jnp.asarray(luma), jnp.asarray(chroma),
+                    jnp.asarray(dcs),
+                    jnp.asarray(ls4), jnp.asarray(ls8), 0, 0)
         try:
-            fn = make_reconstruct_fused_slots(
-                WMB, HMB, B, has8x8=not lite, haspcm=not lite)
+            mk = (make_reconstruct_fused_slots2 if v2
+                  else make_reconstruct_fused_slots)
+            fn = mk(WMB, HMB, B, has8x8=not lite, haspcm=not lite)
             t0 = time.time()
             y, cb, cr = fn(*args)
             np.asarray(y[0, 0, :2])
