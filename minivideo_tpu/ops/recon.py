@@ -114,7 +114,7 @@ class PackedFrames:
     @property
     def batch(self) -> int:
         if self.slots == 2:
-            return self.arrays["meta_slab"].shape[2]
+            return self.arrays["meta_slab"].shape[0]
         return self.arrays["mb_kind"].shape[0]
 
     @property
@@ -123,8 +123,8 @@ class PackedFrames:
         kernel specialization variant — at most two variants compile
         per geometry, both persistently cached)."""
         if self.slots == 2:
-            return bool(np.any(np.asarray(self.arrays["meta_slab"][:, 0])
-                               == KIND_IPCM))
+            return bool(np.any(np.asarray(
+                self.arrays["meta_slab"][:, :, 0]) == KIND_IPCM))
         return bool(np.any(np.asarray(self.arrays["mb_kind"])
                            == KIND_IPCM))
 
@@ -254,21 +254,25 @@ def make_slab_staging(wmb: int, hmb: int, batch: int) -> dict:
 
 
 def make_slab_staging2(wmb: int, hmb: int, batch: int) -> dict:
-    """Device-layout staging for the native parser's v2 slab mode: the
-    buffers ARE the fused kernel's per-wave feeds ([W, S, B, maxw] i16
-    coefficients + [W, META_ROWS, B, maxw] i32 meta) so device prep is
-    one reshape.  np.zeros maps lazy zero pages; unwritten slots keep
-    parsed=0, which also replaces the skew-validity mask."""
+    """Device-layout staging for the native parser's v2 slab mode:
+    frame-major [B, W, S, maxw] buffers whose per-frame slice is the
+    fused kernel's wave feed minus the batch merge — so device prep is
+    one uniform block-transpose (1,2,0,3) + reshape per slab, the
+    parser emits meta rows too, and each pool worker writes a DISJOINT
+    contiguous frame region (no cross-thread false sharing, 122-byte
+    write strides instead of batch*maxw).  np.zeros maps lazy zero
+    pages; unwritten slots keep parsed=0, replacing the skew-validity
+    mask."""
     from .recon_wave import skew_tables
     from .slab import META_ROWS
     g = skew_tables(wmb, hmb)
     W, maxw = g["n_waves"], g["maxw"]
     B = batch
     return {
-        "luma_slab": np.zeros((W, 256, B, maxw), np.int16),
-        "chroma_slab": np.zeros((W, 128, B, maxw), np.int16),
-        "dc_slab": np.zeros((W, 32, B, maxw), np.int16),
-        "meta_slab": np.zeros((W, META_ROWS, B, maxw), np.int32),
+        "luma_slab": np.zeros((B, W, 256, maxw), np.int16),
+        "chroma_slab": np.zeros((B, W, 128, maxw), np.int16),
+        "dc_slab": np.zeros((B, W, 32, maxw), np.int16),
+        "meta_slab": np.zeros((B, W, META_ROWS, maxw), np.int32),
         "maxw": maxw,
         "batch": B,
     }

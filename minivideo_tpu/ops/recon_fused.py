@@ -379,10 +379,11 @@ def make_reconstruct_fused_slots2(wmb: int, hmb: int, batch: int,
                                   has8x8: bool = True,
                                   haspcm: bool = True, ablate=()):
     """Jitted reconstructor over DEVICE-LAYOUT (v2) staging: the native
-    parser emits the kernel's per-wave feeds directly (meta_slab
-    [W, META_ROWS, B, maxw] i32 + coefficient slabs [W, S, B, maxw]
-    i16), so prep here is a reshape — no slot transposes, no meta
-    build, no skew gather (PERF.md round-3 decomposition)."""
+    parser emits the kernel's per-wave feeds frame-major (meta_slab
+    [B, W, META_ROWS, maxw] i32 + coefficient slabs [B, W, S, maxw]
+    i16), so prep here is one uniform block-transpose (batch merge,
+    122-byte contiguous runs) + reshape per slab — no slot gathers, no
+    meta build, no skew gather (PERF.md round-3 decomposition)."""
     g = skew_tables(wmb, hmb)
     g["wmb"], g["hmb"] = wmb, hmb
     W, maxw = g["n_waves"], g["maxw"]
@@ -390,11 +391,14 @@ def make_reconstruct_fused_slots2(wmb: int, hmb: int, batch: int,
     kernel = _build_kernel(wmb, hmb, batch, interpret, has8x8, haspcm,
                            ablate)
 
+    def feed(x, S):
+        return x.transpose(1, 2, 0, 3).reshape(W, S, L)
+
     def recon(meta_slab, luma_slab, chroma_slab, dc_slab, ls4, ls8):
-        meta_s = meta_slab.reshape(W, sl.META_ROWS, L)
-        coefl_s = luma_slab.reshape(W, 256, L)
-        coefc_s = chroma_slab.reshape(W, 128, L)
-        dcs_s = dc_slab.reshape(W, sl.DC_ROWS, L)
+        meta_s = feed(meta_slab, sl.META_ROWS)
+        coefl_s = feed(luma_slab, 256)
+        coefc_s = feed(chroma_slab, 128)
+        dcs_s = feed(dc_slab, sl.DC_ROWS)
         return _kernel_call(kernel, g, batch, meta_s, coefl_s, coefc_s,
                             dcs_s, ls4, ls8)
 

@@ -102,6 +102,23 @@ def ensure_compile_cache() -> None:
         pass
 
 
+def staging_mode() -> str:
+    """Slab staging layout for the fused-engine pipeline: "records" or
+    "device" (see decoder.parse_groups_slab).
+
+    MINIVIDEO_TPU_STAGING overrides; "auto" (default) picks by the
+    host:chip balance — the device layout costs ~40% more host CPU per
+    frame but cuts the device pass 2x (PERF.md round 3), so it wins
+    whenever the host pool isn't the bottleneck.  Hosts with fewer than
+    16 cores (like the 2-core bench VM, where entropy decode bounds the
+    whole pipe) stay on records.
+    """
+    mode = os.environ.get("MINIVIDEO_TPU_STAGING", "auto")
+    if mode in ("records", "device"):
+        return mode
+    return "device" if (os.cpu_count() or 1) >= 16 else "records"
+
+
 def endianness() -> int:
     """4321 for little-endian hosts, 1234 for big-endian (the reference's
     minivideo_endianness contract, minivideo.c:159-199)."""

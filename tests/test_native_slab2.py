@@ -91,12 +91,12 @@ def _check_stream(data):
     W, maxw = g["n_waves"], g["maxw"]
     L = B * maxw
 
-    # 1. coefficient feeds: v2 reshape == v1 slot_feed
+    # 1. coefficient feeds: v2 block-transpose == v1 slot_feed
     for name, S in (("luma_slab", 256), ("chroma_slab", 128),
                     ("dc_slab", sl.DC_ROWS)):
         v1 = np.asarray(sl.slot_feed(jnp.asarray(slabs1[name][:B]), g, B,
                                      jnp.int16))
-        v2 = slabs2[name].reshape(W, S, L)
+        v2 = slabs2[name].transpose(1, 2, 0, 3).reshape(W, S, L)
         np.testing.assert_array_equal(v1, v2, err_msg=name)
 
     # 2. meta slab == Python meta build, on parsed slots
@@ -104,7 +104,8 @@ def _check_stream(data):
     arrays = {k: jnp.asarray(v) for k, v in packed.arrays.items()}
     meta = sl.meta_raster(arrays, cb_off, cr_off, packed.wmb, packed.hmb)
     meta_v1 = np.asarray(sl.vmask_feed(sl.skew_feed(meta, g, B), g, B))
-    meta_v2 = slabs2["meta_slab"].reshape(W, sl.META_ROWS, L)
+    meta_v2 = slabs2["meta_slab"].transpose(1, 2, 0, 3).reshape(
+        W, sl.META_ROWS, L)
     parsed1 = meta_v1[:, 1]
     np.testing.assert_array_equal(parsed1, meta_v2[:, 1], err_msg="parsed")
     mask = parsed1 > 0

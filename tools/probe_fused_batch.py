@@ -62,20 +62,20 @@ def synth_v2(batch, seed=0):
     g = skew_tables(WMB, HMB)
     W, maxw = g["n_waves"], g["maxw"]
     B = batch
-    meta = np.zeros((W, sl.META_ROWS, B, maxw), np.int32)
-    meta[:, 0] = rng.integers(0, 2, (W, B, maxw))
-    meta[:, 1] = 1
-    meta[:, 2:6] = rng.integers(0, 2, (W, 4, B, maxw))
-    meta[:, 6] = rng.integers(0, 4, (W, B, maxw))
-    meta[:, 7] = rng.integers(0, 4, (W, B, maxw))
-    meta[:, 8:28] = rng.integers(0, 9, (W, 20, B, maxw))
-    qp = rng.integers(10, 45, (W, B, maxw))
-    meta[:, 28], meta[:, 29] = qp % 6, qp // 6
-    meta[:, 30], meta[:, 31] = qp % 6, qp // 6
-    meta[:, 32], meta[:, 33] = qp % 6, qp // 6
-    luma = rng.integers(-6, 7, (W, 256, B, maxw)).astype(np.int16)
-    chroma = rng.integers(-4, 5, (W, 128, B, maxw)).astype(np.int16)
-    dcs = rng.integers(-8, 9, (W, 32, B, maxw)).astype(np.int16)
+    meta = np.zeros((B, W, sl.META_ROWS, maxw), np.int32)
+    meta[:, :, 0] = rng.integers(0, 2, (B, W, maxw))
+    meta[:, :, 1] = 1
+    meta[:, :, 2:6] = rng.integers(0, 2, (B, W, 4, maxw))
+    meta[:, :, 6] = rng.integers(0, 4, (B, W, maxw))
+    meta[:, :, 7] = rng.integers(0, 4, (B, W, maxw))
+    meta[:, :, 8:28] = rng.integers(0, 9, (B, W, 20, maxw))
+    qp = rng.integers(10, 45, (B, W, maxw))
+    meta[:, :, 28], meta[:, :, 29] = qp % 6, qp // 6
+    meta[:, :, 30], meta[:, :, 31] = qp % 6, qp // 6
+    meta[:, :, 32], meta[:, :, 33] = qp % 6, qp // 6
+    luma = rng.integers(-6, 7, (B, W, 256, maxw)).astype(np.int16)
+    chroma = rng.integers(-4, 5, (B, W, 128, maxw)).astype(np.int16)
+    dcs = rng.integers(-8, 9, (B, W, 32, maxw)).astype(np.int16)
     from minivideo_tpu.ops.transform import (level_scale_4x4_np,
                                              level_scale_8x8_np)
     ls4 = np.stack([level_scale_4x4_np(np.full(16, 16, np.int32))] * 3)
