@@ -7,7 +7,9 @@ each on TPU (perf triage):
   prep        slot_feed transposes + meta skew alone
   unskew      the output unskew alone, on dummy kernel outputs
 
-Usage: python tools/probe_fused_stages.py [batch]   (default 16)
+Usage: python tools/probe_fused_stages.py [batch] [--v2]
+       (--v2 = device-layout staging + lite kernel, the production
+       TPU configuration)
 """
 
 import os
@@ -50,8 +52,62 @@ def main():
         unskew_fused)
     from minivideo_tpu.ops.recon_wave import skew_tables
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    print("device:", jax.devices()[0], "| batch", B, flush=True)
+    v2 = "--v2" in sys.argv
+    nums = [a for a in sys.argv[1:] if not a.startswith("-")]
+    B = int(nums[0]) if nums else 16
+    print("device:", jax.devices()[0], "| batch", B,
+          "| staging:", "v2" if v2 else "v1", flush=True)
+    if v2:
+        from probe_fused_batch import synth_v2
+        from minivideo_tpu.ops.recon_fused import (
+            make_reconstruct_fused_slots2)
+        meta, luma, chroma, dcs, ls4, ls8 = synth_v2(B)
+        args2 = tuple(jnp.asarray(a) if not isinstance(a, tuple) else a
+                      for a in (meta, luma, chroma, dcs, ls4, ls8))
+        g = skew_tables(WMB, HMB)
+        g["wmb"], g["hmb"] = WMB, HMB
+        W, maxw = g["n_waves"], g["maxw"]
+        L = B * maxw
+
+        def sync_planes(out):
+            np.asarray(out[0][0, 0, :2])
+
+        full = make_reconstruct_fused_slots2(WMB, HMB, B, has8x8=False,
+                                             haspcm=False)
+        _time(lambda: full(*args2), sync_planes, "full")
+
+        @jax.jit
+        def prep(meta, luma, chroma, dcs):
+            def f(x, S):
+                return x.transpose(1, 2, 0, 3).reshape(W, S, L)
+            return (f(meta, sl.META_ROWS), f(luma, 256), f(chroma, 128),
+                    f(dcs, sl.DC_ROWS))
+
+        def sync_prep(out):
+            np.asarray(out[1][0, 0, :2])
+
+        _time(lambda: prep(*args2[:4]), sync_prep, "prep")
+
+        feeds = jax.block_until_ready(prep(*args2[:4]))
+        kernel = _build_kernel(WMB, HMB, B, has8x8=False, haspcm=False)
+
+        @jax.jit
+        def kern(meta_s, coefl_s, coefc_s, dcs_s, ls4, ls8):
+            return _kernel_call(kernel, g, B, meta_s, coefl_s, coefc_s,
+                                dcs_s, ls4, ls8)
+
+        _time(lambda: kern(*feeds, args2[4], args2[5]), sync_planes,
+              "kern+un")
+
+        oy = jnp.zeros((W, 256, L), jnp.uint8)
+        oc = jnp.zeros((W, 128, L), jnp.uint8)
+
+        @jax.jit
+        def unsk(oy, oc):
+            return unskew_fused(oy, oc, g, B)
+
+        _time(lambda: unsk(oy, oc), sync_planes, "unskew")
+        return
     arrays, luma, chroma, dcs, ls4, ls8 = synth_slots(B)
     g = skew_tables(WMB, HMB)
     g["wmb"], g["hmb"] = WMB, HMB
