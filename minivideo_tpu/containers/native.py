@@ -99,6 +99,8 @@ def native_demux(media: MediaFile) -> bool:
             if t is not None:
                 if media.container == Container.MPEG_PS:
                     _sniff_ps_metadata(media, t, int(info[9]) == 0xBD)
+                elif media.container == Container.WAVE:
+                    _attach_wave_metadata(media, t)
                 media.add_track(t)
                 ok = True
         media.parsed = ok
@@ -145,6 +147,31 @@ def _sniff_ps_metadata(media: MediaFile, t: Track, private: bool) -> None:
                 if not t.bitrate and info.bitrate:
                     t.bitrate = info.bitrate
                 return
+
+
+def _attach_wave_metadata(media: MediaFile, t: Track) -> None:
+    """fmt-extension dict + cue points for native-demuxed WAVE tracks:
+    the chunk scanners (containers/wave.py _parse_fmt/_parse_cue) are
+    shared with the Python demuxer so both paths surface identical
+    metadata; only the small header chunks are re-read."""
+    import struct
+    from .riff import iter_chunks
+    from .wave import _parse_cue, _parse_fmt
+    fh = media.file_handle
+    fh.seek(0)
+    hdr = fh.read(12)
+    if len(hdr) < 12:
+        return
+    end = min(8 + struct.unpack("<I", hdr[4:8])[0], media.file_size)
+    t.wave_fmt = {}
+    t.wave_cue_points = []
+    for fcc, _lt, size, off in iter_chunks(fh, end):
+        if fcc == b"fmt ":
+            fh.seek(off)
+            t.wave_fmt = _parse_fmt(fh.read(min(size, 64)))
+        elif fcc == b"cue ":
+            fh.seek(off)
+            t.wave_cue_points = _parse_cue(fh.read(min(size, 4 + 24 * 1024)))
 
 
 def _resolve_codec(info) -> Codec:
@@ -213,11 +240,16 @@ def _build_track(container, info, types, sizes, offs, pts, dts,
         t.timescale = t.duration_units = 0
         t.compute_stats()
     elif container == Container.WAVE:
-        # single-sample track fields exactly as containers/wave.py:45-55
+        # single-sample track fields exactly as containers/wave.py
         t.set_samples(types, sizes, offs, pts, dts)
         byterate8 = int(info[16])
-        if byterate8:
+        fact_samples = int(info[19])
+        if fact_samples and t.sampling_rate:
+            # sample-accurate duration from fact (wave.c:271-277)
+            t.stream_duration_ms = fact_samples * 1000.0 / t.sampling_rate
+        elif byterate8:
             t.stream_duration_ms = int(sizes[0]) * 1000.0 / (byterate8 // 8)
+        if byterate8:
             t.bitrate = byterate8
         t.stream_size = int(sizes[0])
         t.frame_count = 1

@@ -684,7 +684,13 @@ bool parse_wave(const Buf& b, Demux& dm) {
   size_t end = std::min<size_t>(8 + (size_t)riff_size, b.n);
   int64_t tag = -1, channels = 0, rate = 0, byterate = 0, bits = 0;
   int64_t data_off = 0, data_size = 0;
+  int64_t fact_samples = 0;          // fact.dwSampleLength (wave.c:166-190)
   size_t pos = 12;
+  // KSDATAFORMAT GUID suffix: EXTENSIBLE SubFormat embeds the classic
+  // wFormatTag in its first two LE bytes (wave.c:108-118)
+  static const uint8_t kKsSuffix[14] = {0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+                                        0x80, 0x00, 0x00, 0xAA, 0x00, 0x38,
+                                        0x9B, 0x71};
   while (pos + 8 <= end) {
     const uint8_t* fcc = b.d.data() + pos;
     uint32_t size = b.le32(pos + 4);
@@ -696,6 +702,15 @@ bool parse_wave(const Buf& b, Demux& dm) {
       rate = b.le32(off + 4);
       byterate = b.le32(off + 8);
       bits = b.le16(off + 14);
+      if (tag == 0xFFFE && size >= 40) {   // WAVE_FORMAT_EXTENSIBLE
+        int64_t valid_bits = b.le16(off + 18);
+        if (valid_bits) bits = valid_bits;
+        if (off + 42 <= end &&
+            std::memcmp(b.d.data() + off + 28, kKsSuffix, 14) == 0)
+          tag = b.le16(off + 26);          // embedded classic tag
+      }
+    } else if (std::memcmp(fcc, "fact", 4) == 0 && size >= 4) {
+      fact_samples = b.le32(off);
     } else if (std::memcmp(fcc, "data", 4) == 0) {
       data_off = (int64_t)off;
       data_size = size;
@@ -716,6 +731,7 @@ bool parse_wave(const Buf& b, Demux& dm) {
   t.info[7] = rate;
   t.info[8] = bits;
   t.info[16] = byterate * 8;      // bitrate
+  t.info[19] = fact_samples;      // sample-accurate duration basis
   t.finalize();
   dm.tracks.push_back(std::move(t));
   return true;

@@ -22,6 +22,7 @@ fused Pallas production engine).  Bit-exactness vs the numpy oracle
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import cached_property
 
 import numpy as np
 
@@ -117,11 +118,14 @@ class PackedFrames:
             return self.arrays["meta_slab"].shape[0]
         return self.arrays["mb_kind"].shape[0]
 
-    @property
+    @cached_property
     def haspcm(self) -> bool:
         """True if any MB in the batch is I_PCM (host scan; decides the
         kernel specialization variant — at most two variants compile
-        per geometry, both persistently cached)."""
+        per geometry, both persistently cached).  Cached: computed once
+        per pack, while the staging buffers are still host numpy —
+        repeated dispatches must not re-scan (a device slice + transfer
+        once the arrays live on-chip)."""
         if self.slots == 2:
             return bool(np.any(np.asarray(
                 self.arrays["meta_slab"][:, :, 0]) == KIND_IPCM))

@@ -116,6 +116,10 @@ def staging_mode() -> str:
     mode = os.environ.get("MINIVIDEO_TPU_STAGING", "auto")
     if mode in ("records", "device"):
         return mode
+    if mode != "auto":
+        raise ValueError(
+            f"MINIVIDEO_TPU_STAGING={mode!r}: expected 'records', "
+            f"'device' or 'auto'")
     return "device" if (os.cpu_count() or 1) >= 16 else "records"
 
 

@@ -318,6 +318,32 @@ def write_wav(pcm: np.ndarray, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
+def write_wav_extensible(pcm: np.ndarray, rate: int = 16000,
+                         channels: int = 2, valid_bits: int = 16,
+                         channel_mask: int = 0x3,
+                         cue_samples=(0, 4000)) -> bytes:
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) file with fact + cue chunks:
+    SubFormat = KSDATAFORMAT_SUBTYPE_PCM (embedded tag 0x0001)."""
+    data = pcm.astype("<i2").tobytes()
+    guid = struct.pack("<H", 1) + bytes.fromhex(
+        "000000001000800000AA00389B71")
+    ext = struct.pack("<HHI", valid_bits, 0, channel_mask) + guid
+    fmt = struct.pack("<HHIIHH", 0xFFFE, channels, rate,
+                      rate * 2 * channels, 2 * channels, 16) \
+        + struct.pack("<H", len(ext)) + ext
+    n_frames = len(pcm) // channels
+    fact = struct.pack("<I", n_frames)
+    cue = struct.pack("<I", len(cue_samples))
+    for i, s in enumerate(cue_samples):
+        cue += struct.pack("<II4sIII", i + 1, s, b"data", 0, 0, s)
+    payload = (b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"fact" + struct.pack("<I", len(fact)) + fact
+               + b"cue " + struct.pack("<I", len(cue)) + cue
+               + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
 # ---------------------------------------------------------------------------
 # MPEG-PS
 

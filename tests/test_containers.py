@@ -155,6 +155,25 @@ def test_wave_demux(tmp_path):
     mv_close(m)
 
 
+def test_wave_extensible_fact_cue(tmp_path):
+    rng = np.random.default_rng(1)
+    pcm = (rng.standard_normal(32000) * 3000).astype(np.int16)  # 2ch, 1s
+    m = _open(tmp_path, "ext.wav",
+              C.write_wav_extensible(pcm, 16000, channels=2))
+    assert m.container == Container.WAVE
+    assert mv_parse(m)
+    t = m.tracks_audio[0]
+    # codec resolved through the EXTENSIBLE SubFormat GUID (tag 0x0001)
+    assert t.stream_codec == Codec.LPCM
+    assert t.channel_count == 2
+    assert t.bit_per_sample == 16
+    assert t.wave_fmt["channel_mask"] == 0x3
+    # duration from fact.dwSampleLength (sample-accurate), not byterate
+    assert abs(t.stream_duration_ms - 1000.0) < 0.5
+    assert [c["sample_offset"] for c in t.wave_cue_points] == [0, 4000]
+    mv_close(m)
+
+
 def test_ps_es_sniffers_mpeg2_video(tmp_path):
     """PS video tracks carry dimensions/DAR/framerate from the MPEG-2
     sequence header (reference parse_pes_v, pes.c:985-1120) and audio

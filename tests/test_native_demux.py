@@ -98,6 +98,18 @@ def test_wave_parity(tmp_path):
     assert m.tracks_audio[0].sampling_rate == 16000
 
 
+def test_wave_extensible_parity(tmp_path):
+    pcm = (np.sin(np.arange(32000) / 10) * 12000).astype(np.int16)
+    p = tmp_path / "ext.wav"
+    p.write_bytes(C.write_wav_extensible(pcm, 16000, channels=2))
+    m = _assert_tracks_equal(str(p))
+    t = m.tracks_audio[0]
+    assert t.stream_codec.name == "LPCM"     # via SubFormat GUID
+    assert abs(t.stream_duration_ms - 1000.0) < 0.5   # via fact chunk
+    assert t.wave_fmt["channel_mask"] == 0x3
+    assert [c["sample_offset"] for c in t.wave_cue_points] == [0, 4000]
+
+
 def test_ps_parity(annexb, tmp_path):
     p = tmp_path / "a.mpg"
     p.write_bytes(C.write_ps(annexb))
