@@ -72,6 +72,7 @@ struct BitReader {
     if (pos > nbits) error = true;
     return v;
   }
+
   uint32_t read_bits(int n) {
     if (n <= 24) return read_bits_f(n);
     uint32_t v = 0;
@@ -84,8 +85,18 @@ struct BitReader {
   }
 };
 
-// exp-golomb
+// exp-golomb: one 32-bit peek + clz replaces the bit-by-bit zero scan
+// (the scan was ~17% of CAVLC parse time at 1080p)
 static uint32_t read_ue(BitReader& r) {
+  uint32_t v = r.peek_bits32();
+  if (v & 0x80000000u) { r.pos++; return 0; }     // 1-bit fast path
+  int lz = v ? __builtin_clz(v) : 32;
+  if (lz <= 15) {                                 // code fits the peek
+    r.pos += 2 * lz + 1;
+    if (r.pos > r.nbits) { r.error = true; return 0; }
+    return (v >> (31 - 2 * lz)) - 1;
+  }
+  // >31-bit codes (pathological): bitwise fallback
   int zeros = 0;
   while (r.read_bit() == 0) {
     if (++zeros > 32 || r.error) { r.error = true; return 0; }
@@ -99,12 +110,17 @@ static int32_t read_se(BitReader& r) {
   return -(int32_t)(k >> 1);
 }
 
-// VLC decode over (len, code, v0, v1) quad tables via a peek-LUT:
-// one table lookup per symbol instead of a per-prefix-length linear scan
-// (the scan was 71% of CAVLC parse time at 1080p).
+// VLC decode over (len, code, v0, v1) quad tables via a TWO-LEVEL
+// peek-LUT: high-probability codes are short by construction, so an
+// 8-bit first stage (1 KiB/table — the whole family stays L1-resident)
+// resolves almost every symbol; codes longer than 8 bits fall through
+// to a full-width second stage.  The round-3 single-level LUT needed
+// up to 2^16 entries x 4 B = 256 KiB per coeff_token class, and the
+// L2-missing loads were 52% of CAVLC parse time at 1080p.
 struct VlcLut {
-  int bits = 0;                         // LUT index width = max code len
-  std::vector<uint32_t> e;              // len | (v0+64)<<8 | (v1+64)<<16
+  int bits = 0;                         // full index width = max code len
+  std::vector<uint32_t> e1;             // 8-bit first stage (0 = escape)
+  std::vector<uint32_t> e;              // full-width second stage
 };
 
 static VlcLut build_vlc_lut(const int16_t* tab, int n) {
@@ -122,6 +138,13 @@ static VlcLut build_vlc_lut(const int16_t* tab, int n) {
     uint32_t base = code << (l.bits - len);
     for (uint32_t k = 0; k < (1u << (l.bits - len)); k++)
       l.e[base + k] = entry;
+  }
+  l.e1.assign(256, 0);
+  for (uint32_t idx = 0; idx < 256; idx++) {
+    uint32_t full = l.bits > 8 ? (idx << (l.bits - 8))
+                               : (idx >> (8 - l.bits));
+    uint32_t entry = l.e[full];
+    if ((entry & 0xFF) <= 8 || l.bits <= 8) l.e1[idx] = entry;
   }
   return l;
 }
@@ -150,7 +173,8 @@ static const VlcLuts& vlc_luts() {
 
 static inline bool read_vlc_lut(BitReader& r, const VlcLut& l,
                                 int* v0, int* v1) {
-  uint32_t e = l.e[r.peek_bits(l.bits)];
+  uint32_t e = l.e1[r.peek_bits(8)];
+  if (e == 0 && l.bits > 8) e = l.e[r.peek_bits(l.bits)];
   int len = (int)(e & 0xFF);
   if (len == 0 || r.pos + len > r.nbits) { r.error = true; return false; }
   r.pos += len;
@@ -244,8 +268,58 @@ static const SlabTabs& slab_tabs() {
 // ---------------------------------------------------------------------------
 // spatial neighbor derivations (port of spatial.py)
 
+// Precomputed neighbor tables: for every (block, which A/B) pair the
+// neighbor's location class (0 = same MB, 1 = left MB, 2 = up MB) and
+// block index are FIXED by geometry — the per-call coordinate math +
+// branches (blk4_at was 8% of CAVLC parse) reduce to two table bytes.
+struct NbrTabs {
+  uint8_t l4_loc[16][2], l4_blk[16][2];   // 4x4 luma, decode order
+  uint8_t l8_loc[4][2], l8_blk[4][2];     // 8x8 luma
+  uint8_t c4_loc[4][2], c4_blk[4][2];     // 4x4 chroma
+  static int blk4_at(int x, int y) {
+    return 8 * (y / 8) + 4 * (x / 8) + 2 * ((y % 8) / 4) + ((x % 8) / 4);
+  }
+  NbrTabs() {
+    for (int blk = 0; blk < 16; blk++)
+      for (int w = 0; w < 2; w++) {
+        int x = kBlkX[blk], y = kBlkY[blk];
+        int xn = w == 0 ? x - 4 : x, yn = w == 0 ? y : y - 4;
+        if (xn < 0) { l4_loc[blk][w] = 1; l4_blk[blk][w] = blk4_at(xn + 16, yn); }
+        else if (yn < 0) { l4_loc[blk][w] = 2; l4_blk[blk][w] = blk4_at(xn, yn + 16); }
+        else { l4_loc[blk][w] = 0; l4_blk[blk][w] = blk4_at(xn, yn); }
+      }
+    for (int b8 = 0; b8 < 4; b8++)
+      for (int w = 0; w < 2; w++) {
+        int x = (b8 % 2) * 8, y = (b8 / 2) * 8;
+        int xn = w == 0 ? x - 8 : x, yn = w == 0 ? y : y - 8;
+        if (xn < 0) { l8_loc[b8][w] = 1; l8_blk[b8][w] = (yn / 8) * 2 + (xn + 16) / 8; }
+        else if (yn < 0) { l8_loc[b8][w] = 2; l8_blk[b8][w] = ((yn + 16) / 8) * 2 + xn / 8; }
+        else { l8_loc[b8][w] = 0; l8_blk[b8][w] = (yn / 8) * 2 + xn / 8; }
+      }
+    for (int blk = 0; blk < 4; blk++)
+      for (int w = 0; w < 2; w++) {
+        int x = (blk % 2) * 4, y = (blk / 2) * 4;
+        int xn = w == 0 ? x - 4 : x, yn = w == 0 ? y : y - 4;
+        if (xn < 0) { c4_loc[blk][w] = 1; c4_blk[blk][w] = (yn / 4) * 2 + (xn + 8) / 4; }
+        else if (yn < 0) { c4_loc[blk][w] = 2; c4_blk[blk][w] = ((yn + 8) / 4) * 2 + xn / 4; }
+        else { c4_loc[blk][w] = 0; c4_blk[blk][w] = (yn / 4) * 2 + xn / 4; }
+      }
+  }
+};
+
+static const NbrTabs& nbr_tabs() {
+  static const NbrTabs T;
+  return T;
+}
+
 struct Geo {
   int wmb, hmb, first_mb;
+  const NbrTabs* nt = &nbr_tabs();
+  // resolve a NbrTabs location class against the CURRENT MB's cached
+  // neighbors (every parse-time derivation targets the MB being parsed)
+  inline int loc_mb(int loc) const {
+    return loc == 0 ? cur_mb : (loc == 1 ? cur_a : cur_b);
+  }
   // current-MB cache: every neighbor derivation during macroblock parse
   // refers to the MB being parsed, so the x/y division and the skew
   // slot are computed ONCE per MB (set_current) instead of per call —
@@ -346,11 +420,12 @@ struct ModePred {
   const FrameBufs* f;
   const Geo* g;
   int pred4(int mb, int blk) const {
+    const NbrTabs& T = *g->nt;
     int preds[2];
     for (int which = 0; which < 2; which++) {
-      int mb_n, blk_n;
-      if (!g->luma4_nbr(mb, blk, which, &mb_n, &blk_n)
-          || !f->parsed[mb_n]) { preds[which] = -1; continue; }
+      int mb_n = g->loc_mb(T.l4_loc[blk][which]);
+      if (mb_n < 0 || !f->parsed[mb_n]) { preds[which] = -1; continue; }
+      int blk_n = T.l4_blk[blk][which];
       int k = f->mb_kind[mb_n];
       if (k == KIND_I4) preds[which] = f->luma4x4_modes[mb_n * 16 + blk_n];
       else if (k == KIND_I8)
@@ -361,11 +436,12 @@ struct ModePred {
     return preds[0] < preds[1] ? preds[0] : preds[1];
   }
   int pred8(int mb, int blk8) const {
+    const NbrTabs& T = *g->nt;
     int preds[2];
     for (int which = 0; which < 2; which++) {
-      int mb_n, blk_n;
-      if (!g->luma8_nbr(mb, blk8, which, &mb_n, &blk_n)
-          || !f->parsed[mb_n]) { preds[which] = -1; continue; }
+      int mb_n = g->loc_mb(T.l8_loc[blk8][which]);
+      if (mb_n < 0 || !f->parsed[mb_n]) { preds[which] = -1; continue; }
+      int blk_n = T.l8_blk[blk8][which];
       int k = f->mb_kind[mb_n];
       if (k == KIND_I8) preds[which] = f->luma8x8_modes[mb_n * 4 + blk_n];
       else if (k == KIND_I4) {
@@ -385,38 +461,44 @@ struct CavlcCtx {
   BitReader* r;
   FrameBufs* f;
   const Geo* g;
+  const VlcLuts* L = &vlc_luts();   // hoisted: the per-call static-local
+                                    // guard was ~16% of CAVLC parse
   int64_t stop_bit;
 
   int nc_luma(int mb, int blk) const {
+    const NbrTabs& T = *g->nt;
     int ns[2];
     for (int which = 0; which < 2; which++) {
-      int mb_n, blk_n;
-      if (!g->luma4_nbr(mb, blk, which, &mb_n, &blk_n)
-          || !f->parsed[mb_n]) { ns[which] = -1; continue; }
+      int mb_n = g->loc_mb(T.l4_loc[blk][which]);
+      if (mb_n < 0 || !f->parsed[mb_n]) { ns[which] = -1; continue; }
       if (f->mb_kind[mb_n] == KIND_PCM) ns[which] = 16;
-      else ns[which] = f->total_coeff_luma[mb_n * 16 + blk_n];
+      else ns[which] = f->total_coeff_luma[mb_n * 16
+                                           + T.l4_blk[blk][which]];
     }
     if (ns[0] >= 0 && ns[1] >= 0) return (ns[0] + ns[1] + 1) >> 1;
     return ns[0] >= 0 ? ns[0] : (ns[1] >= 0 ? ns[1] : 0);
   }
   int nc_chroma(int mb, int ic, int blk) const {
+    const NbrTabs& T = *g->nt;
     int ns[2];
     for (int which = 0; which < 2; which++) {
-      int mb_n, blk_n;
-      if (!g->chroma4_nbr(mb, blk, which, &mb_n, &blk_n)
-          || !f->parsed[mb_n]) { ns[which] = -1; continue; }
+      int mb_n = g->loc_mb(T.c4_loc[blk][which]);
+      if (mb_n < 0 || !f->parsed[mb_n]) { ns[which] = -1; continue; }
       if (f->mb_kind[mb_n] == KIND_PCM) ns[which] = 16;
-      else ns[which] = f->total_coeff_chroma[(mb_n * 2 + ic) * 4 + blk_n];
+      else ns[which] = f->total_coeff_chroma[(mb_n * 2 + ic) * 4
+                                             + T.c4_blk[blk][which]];
     }
     if (ns[0] >= 0 && ns[1] >= 0) return (ns[0] + ns[1] + 1) >> 1;
     return ns[0] >= 0 ? ns[0] : (ns[1] >= 0 ? ns[1] : 0);
   }
 
   // returns TotalCoeff; fills levels[max] in scan order
+  // returns TotalCoeff; fills levels[maxn] in scan order.  levels is
+  // touched ONLY when tc > 0 (callers skip the store for empty blocks;
+  // zero blocks ride the zero-initialized staging).
   int residual(int nC, int start, int end, int maxn, int* levels) {
     BitReader& rd = *r;
-    memset(levels, 0, sizeof(int) * maxn);
-    const VlcLuts& L = vlc_luts();
+    const VlcLuts& L = *this->L;
     int tc = 0, t1 = 0;
     if (nC >= 8) {
       uint32_t v = rd.read_bits(6);
@@ -432,19 +514,46 @@ struct CavlcCtx {
     }
     if (tc == 0) return 0;
     if (tc > end - start + 1) { rd.error = true; return -1; }
+    memset(levels, 0, sizeof(int) * maxn);
 
     int lv[64];
     int suffix_len = (tc > 10 && t1 < 3) ? 1 : 0;
-    for (int i = 0; i < tc; i++) {
-      if (i < t1) { lv[i] = 1 - 2 * rd.read_bit(); continue; }
-      int prefix = 0;
-      while (rd.read_bit() == 0) {
-        if (++prefix > 32 || rd.error) { rd.error = true; return -1; }
-      }
+    if (t1 > 0) {                       // trailing-one signs, batched
+      uint32_t s = rd.read_bits_f(t1);
+      for (int i = 0; i < t1; i++)
+        lv[i] = 1 - 2 * (int)((s >> (t1 - 1 - i)) & 1);
+    }
+    for (int i = t1; i < tc; i++) {
+      // level_prefix zero scan via one peek + clz (was bit-by-bit);
+      // the suffix rides in the SAME peeked window whenever
+      // prefix + 1 + suffix_size <= 32 (always, outside escape codes),
+      // halving the stream reads of the hottest CAVLC loop
+      uint32_t pk = rd.peek_bits32();
+      int prefix = pk ? __builtin_clz(pk) : 32;
       int suffix_size = suffix_len;
-      if (prefix == 14 && suffix_len == 0) suffix_size = 4;
-      else if (prefix >= 15) suffix_size = prefix - 3;
-      int suffix = suffix_size > 0 ? (int)rd.read_bits(suffix_size) : 0;
+      int suffix;
+      if (prefix >= 15) {               // escape / pathological: slow path
+        if (prefix >= 32) {
+          prefix = 0;
+          while (rd.read_bit() == 0) {
+            if (++prefix > 32 || rd.error) { rd.error = true; return -1; }
+          }
+        } else {
+          rd.pos += prefix + 1;
+          if (rd.pos > rd.nbits) { rd.error = true; return -1; }
+        }
+        if (prefix >= 15) suffix_size = prefix - 3;
+        else if (prefix == 14 && suffix_len == 0) suffix_size = 4;
+        suffix = suffix_size > 0 ? (int)rd.read_bits(suffix_size) : 0;
+      } else {
+        if (prefix == 14 && suffix_len == 0) suffix_size = 4;
+        int take = prefix + 1 + suffix_size;
+        rd.pos += take;
+        if (rd.pos > rd.nbits) { rd.error = true; return -1; }
+        suffix = suffix_size > 0
+                 ? (int)((pk >> (32 - take)) & ((1u << suffix_size) - 1))
+                 : 0;
+      }
       int code = ((prefix < 15 ? prefix : 15) << suffix_len) + suffix;
       if (prefix >= 15 && suffix_len == 0) code += 15;
       if (prefix >= 16) code += (1 << (prefix - 3)) - 4096;
@@ -498,6 +607,10 @@ struct CabacTabs {
   uint8_t next_mps[128];
   uint8_t next_lps[128];
   uint8_t lps[128][4];
+  // packed[s] = lps[0..3] | next_mps<<32 | next_lps<<40: the whole
+  // per-state record in ONE 8-byte load (the split tables cost up to
+  // three loads per decision on distinct cache lines)
+  uint64_t packed[128];
   CabacTabs() {
     for (int s = 0; s < 128; s++) {
       int st = s >> 1, v = s & 1;
@@ -506,6 +619,10 @@ struct CabacTabs {
                               | (st == 0 ? v ^ 1 : v));
       for (int q = 0; q < 4; q++)
         lps[s][q] = (uint8_t)kRangeTabLps[st * 4 + q];
+      packed[s] = (uint64_t)lps[s][0] | ((uint64_t)lps[s][1] << 8)
+                | ((uint64_t)lps[s][2] << 16) | ((uint64_t)lps[s][3] << 24)
+                | ((uint64_t)next_mps[s] << 32)
+                | ((uint64_t)next_lps[s] << 40);
     }
   }
 };
@@ -567,7 +684,8 @@ struct CabacEngine {
   }
   inline int decision(int i) {
     uint32_t s = ctx[i];
-    uint32_t r_lps = t->lps[s][(range >> 6) & 3];
+    uint64_t e = t->packed[s];                 // one load: lps x4 + nexts
+    uint32_t r_lps = (uint32_t)(e >> (((range >> 6) & 3) * 8)) & 0xFF;
     uint32_t r_mps = range - r_lps;
     uint64_t thr = (uint64_t)r_mps << S;
     // branchless MPS/LPS select (conditional moves beat the ~50%
@@ -575,7 +693,7 @@ struct CabacEngine {
     int is_lps = low >= thr;
     low -= is_lps ? thr : 0;
     range = is_lps ? r_lps : r_mps;
-    ctx[i] = is_lps ? t->next_lps[s] : t->next_mps[s];
+    ctx[i] = (uint8_t)(e >> (is_lps ? 40 : 32));
     int k = 9 - (32 - __builtin_clz(range));   // renorm (k in 0..7)
     range <<= k;
     S -= k;
@@ -643,10 +761,12 @@ struct CabacCtx {
     return inc;
   }
   int cond_cbp_luma(int mb, int blk8) const {
+    const NbrTabs& T = *g->nt;
     int incs[2];
     for (int which = 0; which < 2; which++) {
-      int mb_n, blk_n;
-      if (!g->luma8_nbr(mb, blk8, which, &mb_n, &blk_n)) { incs[which] = 0; continue; }
+      int mb_n = g->loc_mb(T.l8_loc[blk8][which]);
+      int blk_n = T.l8_blk[blk8][which];
+      if (mb_n < 0) { incs[which] = 0; continue; }
       if (mb_n == mb) {
         incs[which] = ((f->cbp_luma[mb] >> blk_n) & 1) ? 0 : 1;
       } else if (!f->parsed[mb_n] || f->mb_kind[mb_n] == KIND_PCM) {
@@ -679,9 +799,10 @@ struct CabacCtx {
         else if (f->mb_kind[n] == KIND_I16) incs[which] = f->cbf_luma_dc[n];
         else incs[which] = 0;
       } else if (cat == 1 || cat == 2) {
-        int mb_n, blk_n;
-        if (!g->luma4_nbr(mb, blk, which, &mb_n, &blk_n)
-            || (mb_n != mb && !f->parsed[mb_n])) { incs[which] = 1; }
+        const NbrTabs& T = *g->nt;
+        int mb_n = g->loc_mb(T.l4_loc[blk][which]);
+        int blk_n = T.l4_blk[blk][which];
+        if (mb_n < 0 || (mb_n != mb && !f->parsed[mb_n])) { incs[which] = 1; }
         else if (f->mb_kind[mb_n] == KIND_PCM) incs[which] = 1;
         else if (f->transform8x8[mb_n])
           incs[which] = (f->cbp_luma[mb_n] >> (blk_n >> 2)) & 1;
@@ -696,9 +817,10 @@ struct CabacCtx {
           incs[which] = f->cbf_chroma_dc[n * 2 + blk];
         else incs[which] = 0;
       } else {
-        int mb_n, blk_n;
-        if (!g->chroma4_nbr(mb, blk, which, &mb_n, &blk_n)
-            || (mb_n != mb && !f->parsed[mb_n])) { incs[which] = 1; }
+        const NbrTabs& T = *g->nt;
+        int mb_n = g->loc_mb(T.c4_loc[blk][which]);
+        int blk_n = T.c4_blk[blk][which];
+        if (mb_n < 0 || (mb_n != mb && !f->parsed[mb_n])) { incs[which] = 1; }
         else if (f->mb_kind[mb_n] == KIND_PCM) incs[which] = 1;
         else if (f->cbp_chroma[mb_n] == 2)
           incs[which] = f->cbf_chroma[(mb_n * 2 + ic) * 4 + blk_n];
@@ -709,8 +831,9 @@ struct CabacCtx {
   }
 
   // returns cbf; fills levels[maxn] scan order
+  // returns cbf; fills levels[maxn] scan order.  levels is touched
+  // ONLY when cbf != 0 (callers skip the store for empty blocks).
   int residual(int mb, int cat, int blk, int ic, int maxn, int* levels) {
-    memset(levels, 0, sizeof(int) * maxn);
     static const int cat_off_cbf[5] = {0, 4, 8, 12, 16};
     static const int cat_off_sig[5] = {0, 15, 29, 44, 47};
     static const int cat_off_abs[5] = {0, 10, 20, 30, 39};
@@ -729,6 +852,7 @@ struct CabacCtx {
       cbf = e.decision(85 + cat_off_cbf[cat] + inc);
       if (!cbf) return 0;
     }
+    memset(levels, 0, sizeof(int) * maxn);
     int sig_base, last_base, abs_base;
     const uint8_t *sig_tab, *last_tab;
     if (cat == 5) {
@@ -805,6 +929,7 @@ struct SliceDec {
   int64_t boff = 0;             // bidx * maxw (v2)
   int32_t* meta_slab = nullptr; // [n_waves][META_ROWS][B][maxw] (v2)
   int cb_qp_off = 0, cr_qp_off = 0;
+  const SlabTabs* ST = &slab_tabs();  // hoisted static-local guard
   int64_t stop_bit;
   CavlcCtx cav;
   CabacCtx cab;
@@ -822,8 +947,10 @@ struct SliceDec {
   // stride between rows: v1 record layout [slot][S] (stride 1), v2
   // device layout [w][S][B][maxw] (stride B*maxw)
   inline int64_t slab_base(int mb, int S) const {
+    if (!slab_v2) return slot_of(mb) * S;
+    if (mb == g.cur_mb)                  // parse-time fast path: no div
+      return (int64_t)g.cur_w * S * Bm + boff + g.cur_k;
     int64_t slot = slot_of(mb);
-    if (!slab_v2) return slot * S;
     int64_t w = slot / maxw, k = slot % maxw;
     return w * S * Bm + boff + k;
   }
@@ -831,6 +958,10 @@ struct SliceDec {
 
   // coefficient stores: scan-ordered levels -> raster buffers (classic
   // mode) or slab records (slab mode; ops/slab.py layouts)
+  // Coefficient stores are UNCONDITIONAL: a zero-skip branch per
+  // element was measured 30% slower at density 0.25 (mispredicted
+  // branch beats the saved store; the records are cache-line-local so
+  // skipping does not avoid the dirty line).  PERF.md round 4.
   void store_luma_dc(int mb, const int* lv) {
     if (slab_mode) {
       int16_t* out = f.dc_slab + slab_base(mb, 32);
@@ -839,50 +970,59 @@ struct SliceDec {
         out[kZigzag4[k] * e] = (int16_t)lv[k];
     } else {
       int32_t* out = f.luma_dc + mb * 16;
-      for (int k = 0; k < 16; k++) out[kZigzag4[k]] = lv[k];
+      for (int k = 0; k < 16; k++)
+        out[kZigzag4[k]] = lv[k];
     }
   }
   void store_luma4(int mb, int blk, const int* full) {
     if (slab_mode) {
       int16_t* out = f.luma_slab + slab_base(mb, 256);
-      const int* t = slab_tabs().l4[blk];
+      const int* t = ST->l4[blk];
       const int64_t e = es();
-      for (int k = 0; k < 16; k++) out[t[k] * e] = (int16_t)full[k];
+      for (int k = 0; k < 16; k++)
+        out[t[k] * e] = (int16_t)full[k];
     } else {
       int32_t* out = f.luma_ac + (mb * 16 + blk) * 16;
-      for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+      for (int k = 0; k < 16; k++)
+        out[kZigzag4[k]] = full[k];
     }
   }
   void store_luma8(int mb, int b8, const int* lv64) {
     if (slab_mode) {
       int16_t* out = f.luma_slab + slab_base(mb, 256);
-      const int* t = slab_tabs().l8[b8];
+      const int* t = ST->l8[b8];
       const int64_t e = es();
-      for (int k = 0; k < 64; k++) out[t[k] * e] = (int16_t)lv64[k];
+      for (int k = 0; k < 64; k++)
+        out[t[k] * e] = (int16_t)lv64[k];
     } else {
       int32_t* out = f.luma8x8_coeff + (mb * 4 + b8) * 64;
-      for (int k = 0; k < 64; k++) out[kZigzag8[k]] = lv64[k];
+      for (int k = 0; k < 64; k++)
+        out[kZigzag8[k]] = lv64[k];
     }
   }
   void store_chroma_dc(int mb, int ic, const int* lv) {
     if (slab_mode) {
       const int64_t e = es();
       int16_t* out = f.dc_slab + slab_base(mb, 32) + (16 + ic * 4) * e;
-      for (int k = 0; k < 4; k++) out[k * e] = (int16_t)lv[k];
+      for (int k = 0; k < 4; k++)
+        out[k * e] = (int16_t)lv[k];
     } else {
       int32_t* out = f.chroma_dc + (mb * 2 + ic) * 4;
-      for (int k = 0; k < 4; k++) out[k] = lv[k];
+      for (int k = 0; k < 4; k++)
+        out[k] = lv[k];
     }
   }
   void store_chroma4(int mb, int ic, int blk, const int* full) {
     if (slab_mode) {
       int16_t* out = f.chroma_slab + slab_base(mb, 128);
-      const int* t = slab_tabs().c4[ic * 4 + blk];
+      const int* t = ST->c4[ic * 4 + blk];
       const int64_t e = es();
-      for (int k = 0; k < 16; k++) out[t[k] * e] = (int16_t)full[k];
+      for (int k = 0; k < 16; k++)
+        out[t[k] * e] = (int16_t)full[k];
     } else {
       int32_t* out = f.chroma_ac + ((mb * 2 + ic) * 4 + blk) * 16;
-      for (int k = 0; k < 16; k++) out[kZigzag4[k]] = full[k];
+      for (int k = 0; k < 16; k++)
+        out[kZigzag4[k]] = full[k];
     }
   }
 
@@ -931,12 +1071,12 @@ struct SliceDec {
 void SliceDec::apply_pcm(int mb) {
   // raw samples are stored via the Python wrapper reading them back from
   // the bitstream position we record; here we copy into luma_ac /
-  // chroma_ac using the "PCM rides the coefficient buffers" layout
+  // chroma_ac using the "PCM rides the coefficient buffers" layout.
   f.mb_kind[mb] = KIND_PCM;
   f.parsed[mb] = 1;
   r.align();
   if (slab_mode) {
-    const SlabTabs& t = slab_tabs();
+    const SlabTabs& t = *ST;
     const int64_t e = es();
     int16_t* y = f.luma_slab + slab_base(mb, 256);
     for (int i = 0; i < 256; i++)
@@ -972,22 +1112,21 @@ int SliceDec::parse_mb_cavlc(int mb) {
     f.transform8x8[mb] = (int8_t)t8;
     f.mb_kind[mb] = t8 ? KIND_I8 : KIND_I4;
     f.parsed[mb] = 1;
+    // prev_intra_pred_mode_flag + rem_intra_pred_mode in ONE 4-bit peek
+    auto read_mode = [&](int pred) {
+      uint32_t mv = r.peek_bits(4);
+      if (mv & 8) { r.pos += 1; return pred; }
+      r.pos += 4;
+      if (r.pos > r.nbits) r.error = true;
+      int rem = (int)(mv & 7);
+      return rem < pred ? rem : rem + 1;
+    };
     if (t8) {
-      for (int b8 = 0; b8 < 4; b8++) {
-        int pred = mp.pred8(mb, b8);
-        int mode;
-        if (r.read_bit()) mode = pred;
-        else { int rem = (int)r.read_bits(3); mode = rem < pred ? rem : rem + 1; }
-        f.luma8x8_modes[mb * 4 + b8] = (int8_t)mode;
-      }
+      for (int b8 = 0; b8 < 4; b8++)
+        f.luma8x8_modes[mb * 4 + b8] = (int8_t)read_mode(mp.pred8(mb, b8));
     } else {
-      for (int b = 0; b < 16; b++) {
-        int pred = mp.pred4(mb, b);
-        int mode;
-        if (r.read_bit()) mode = pred;
-        else { int rem = (int)r.read_bits(3); mode = rem < pred ? rem : rem + 1; }
-        f.luma4x4_modes[mb * 16 + b] = (int8_t)mode;
-      }
+      for (int b = 0; b < 16; b++)
+        f.luma4x4_modes[mb * 16 + b] = (int8_t)read_mode(mp.pred4(mb, b));
     }
     uint32_t m = read_ue(r);
     if (m > 3) return -1;
@@ -1026,13 +1165,15 @@ int SliceDec::parse_mb_cavlc(int mb) {
   int transform8 = f.transform8x8[mb];
   if (is_i16) {
     int nc = cav.nc_luma(mb, 0);
-    if (cav.residual(nc, 0, 15, 16, lv) < 0) return -1;
-    store_luma_dc(mb, lv);
+    int tc = cav.residual(nc, 0, 15, 16, lv);
+    if (tc < 0) return -1;
+    if (tc > 0) store_luma_dc(mb, lv);
   }
   for (int b8 = 0; b8 < 4; b8++) {
     int coded = (cbp_l >> b8) & 1;
     if (transform8) {
       int lv64[64] = {0};
+      int any = 0;
       for (int i4 = 0; i4 < 4; i4++) {
         int blk = b8 * 4 + i4;
         if (!coded) continue;
@@ -1040,33 +1181,40 @@ int SliceDec::parse_mb_cavlc(int mb) {
         int tc = cav.residual(nc, 0, 15, 16, lv);
         if (tc < 0) return -1;
         f.total_coeff_luma[mb * 16 + blk] = (int16_t)tc;
-        for (int k = 0; k < 16; k++) lv64[4 * k + i4] = lv[k];
+        if (tc > 0) {
+          any = 1;
+          for (int k = 0; k < 16; k++) lv64[4 * k + i4] = lv[k];
+        }
       }
-      if (coded) store_luma8(mb, b8, lv64);
+      if (any) store_luma8(mb, b8, lv64);
     } else {
       for (int i4 = 0; i4 < 4; i4++) {
         int blk = b8 * 4 + i4;
         if (!coded) continue;
         int nc = cav.nc_luma(mb, blk);
         int tc;
-        int full[16] = {0};
+        int full[16];
         if (is_i16) {
           tc = cav.residual(nc, 0, 14, 15, lv);
           if (tc < 0) return -1;
-          for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
+          if (tc > 0) {
+            full[0] = 0;
+            for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
+          }
         } else {
           tc = cav.residual(nc, 0, 15, 16, full);
           if (tc < 0) return -1;
         }
         f.total_coeff_luma[mb * 16 + blk] = (int16_t)tc;
-        store_luma4(mb, blk, full);
+        if (tc > 0) store_luma4(mb, blk, full);
       }
     }
   }
   if (cbp_c) {
     for (int ic = 0; ic < 2; ic++) {
-      if (cav.residual(-1, 0, 3, 4, lv) < 0) return -1;
-      store_chroma_dc(mb, ic, lv);
+      int tc = cav.residual(-1, 0, 3, 4, lv);
+      if (tc < 0) return -1;
+      if (tc > 0) store_chroma_dc(mb, ic, lv);
     }
   }
   if (cbp_c & 2) {
@@ -1076,9 +1224,12 @@ int SliceDec::parse_mb_cavlc(int mb) {
         int tc = cav.residual(nc, 0, 14, 15, lv);
         if (tc < 0) return -1;
         f.total_coeff_chroma[(mb * 2 + ic) * 4 + blk] = (int16_t)tc;
-        int full[16] = {0};
-        for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
-        store_chroma4(mb, ic, blk, full);
+        if (tc > 0) {
+          int full[16];
+          full[0] = 0;
+          for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
+          store_chroma4(mb, ic, blk, full);
+        }
       }
     }
   }
@@ -1183,7 +1334,7 @@ int SliceDec::parse_mb_cabac(int mb) {
     int cbf = cab.residual(mb, 0, 0, 0, 16, lv);
     if (r.error) return -1;
     f.cbf_luma_dc[mb] = (int8_t)cbf;
-    store_luma_dc(mb, lv);
+    if (cbf) store_luma_dc(mb, lv);
   }
   for (int b8 = 0; b8 < 4; b8++) {
     int coded = (cbp_l >> b8) & 1;
@@ -1195,17 +1346,20 @@ int SliceDec::parse_mb_cabac(int mb) {
     } else {
       for (int i4 = 0; i4 < 4; i4++) {
         int blk = b8 * 4 + i4;
-        int full[16] = {0};
+        int full[16];
         int cbf;
         if (is_i16) {
           cbf = cab.residual(mb, 1, blk, 0, 15, lv);
-          for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
+          if (cbf) {
+            full[0] = 0;
+            for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
+          }
         } else {
           cbf = cab.residual(mb, 2, blk, 0, 16, full);
         }
         if (r.error) return -1;
         f.cbf_luma[mb * 16 + blk] = (int8_t)cbf;
-        store_luma4(mb, blk, full);
+        if (cbf) store_luma4(mb, blk, full);
       }
     }
   }
@@ -1214,7 +1368,7 @@ int SliceDec::parse_mb_cabac(int mb) {
       int cbf = cab.residual(mb, 3, ic, ic, 4, lv);
       if (r.error) return -1;
       f.cbf_chroma_dc[mb * 2 + ic] = (int8_t)cbf;
-      store_chroma_dc(mb, ic, lv);
+      if (cbf) store_chroma_dc(mb, ic, lv);
     }
   }
   if (cbp_c & 2) {
@@ -1223,9 +1377,12 @@ int SliceDec::parse_mb_cabac(int mb) {
         int cbf = cab.residual(mb, 4, blk, ic, 15, lv);
         if (r.error) return -1;
         f.cbf_chroma[(mb * 2 + ic) * 4 + blk] = (int8_t)cbf;
-        int full[16] = {0};
-        for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
-        store_chroma4(mb, ic, blk, full);
+        if (cbf) {
+          int full[16];
+          full[0] = 0;
+          for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
+          store_chroma4(mb, ic, blk, full);
+        }
       }
     }
   }
