@@ -55,12 +55,12 @@ pytestmark = pytest.mark.skipif(
     not _have_tools(), reason="libx264/libavcodec tools unavailable")
 
 
-def x264_stream(w, h, frames, qp, cabac, dct8, seed, tmp_path):
+def x264_stream(w, h, frames, qp, cabac, dct8, seed, tmp_path, slices=1):
     out = tmp_path / "x264.264"
     r = subprocess.run(
         [ENC, str(out), str(w), str(h), str(frames), str(qp),
-         str(cabac), str(dct8), str(seed)],
-        capture_output=True, text=True, timeout=120)
+         str(cabac), str(dct8), str(seed), str(slices)],
+        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-500:]
     return out.read_bytes()
 
@@ -159,3 +159,47 @@ def test_x264_jax_engine_matches(tmp_path):
     data = x264_stream(96, 64, 2, 28, cabac=1, dct8=1, seed=23,
                        tmp_path=tmp_path)
     _check(data, 2, tmp_path, engine="jax")
+
+
+def test_x264_multislice_cavlc(tmp_path):
+    """4 slices per picture (x264 slices=4): entropy state, neighbor
+    availability and intra prediction all reset at slice boundaries
+    (reference scope anchor: h264_slice.c:1013-1139 slice-data
+    independence) — the axis the host entropy stage parallelizes
+    within a frame."""
+    data = x264_stream(128, 96, 2, 26, cabac=0, dct8=0, seed=31,
+                       tmp_path=tmp_path, slices=4)
+    _check(data, 2, tmp_path)
+
+
+def test_x264_multislice_cabac_8x8(tmp_path):
+    data = x264_stream(128, 96, 2, 24, cabac=1, dct8=1, seed=37,
+                       tmp_path=tmp_path, slices=4)
+    _check(data, 2, tmp_path)
+
+
+def test_x264_multislice_jax_engine(tmp_path):
+    """Multi-slice pictures through the production engine path."""
+    data = x264_stream(128, 96, 1, 26, cabac=1, dct8=0, seed=41,
+                       tmp_path=tmp_path, slices=3)
+    _check(data, 1, tmp_path, engine="jax")
+
+
+def test_x264_1080p_real_content(tmp_path):
+    """Full-size 1080p (1920x1080 -> SPS cropping) all-intra streams at
+    a production QP, pinned bit-exact vs libavcodec — the independent-
+    provenance golden at the bench geometry (prior goldens topped out
+    at 128x96; 1080p correctness otherwise rested on the repo's own
+    fixture generator)."""
+    for cabac, dct8, seed in ((0, 0, 42), (1, 1, 43)):
+        data = x264_stream(1920, 1080, 1, 26, cabac=cabac, dct8=dct8,
+                           seed=seed, tmp_path=tmp_path)
+        _check(data, 1, tmp_path)
+
+
+def test_x264_1080p_multislice(tmp_path):
+    """1080p with 4 slices/picture — the slice-parallel host entropy
+    configuration, vs libavcodec."""
+    data = x264_stream(1920, 1080, 1, 26, cabac=1, dct8=1, seed=44,
+                       tmp_path=tmp_path, slices=4)
+    _check(data, 1, tmp_path)

@@ -8,7 +8,10 @@
  * encoder's reconstruction must not either for bit-exact comparison).
  *
  * Usage: x264_fixture <out.264> <w> <h> <frames> <qp> <cabac 0|1>
- *        <dct8 0|1> <seed>
+ *        <dct8 0|1> <seed> [slices]
+ * slices > 1 splits every picture into that many slices (x264
+ * slices=N), the axis the host entropy stage parallelizes within a
+ * frame (slices are entropy-independent, h264_slice.c:1013-1139).
  * Build: gcc -O2 tools/x264_fixture.c -o /tmp/x264_fixture \
  *            -lavcodec -lavutil
  */
@@ -35,6 +38,7 @@ int main(int argc, char** argv) {
   int w = atoi(argv[2]), h = atoi(argv[3]), nframes = atoi(argv[4]);
   int qp = atoi(argv[5]), cabac = atoi(argv[6]), dct8 = atoi(argv[7]);
   lcg = (uint32_t)atoi(argv[8]) * 2654435761u + 1u;
+  int slices = argc > 9 ? atoi(argv[9]) : 1;
 
   const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
   if (!codec) { fprintf(stderr, "libx264 unavailable\n"); return 3; }
@@ -51,8 +55,8 @@ int main(int argc, char** argv) {
   snprintf(params, sizeof params,
            "qp=%d:aq-mode=0:no-deblock=1:keyint=1:min-keyint=1:"
            "cabac=%d:8x8dct=%d:threads=1:sliced-threads=0:"
-           "scenecut=0:repeat-headers=1",
-           qp, cabac, dct8);
+           "scenecut=0:repeat-headers=1:slices=%d",
+           qp, cabac, dct8, slices > 1 ? slices : 1);
   av_opt_set(c->priv_data, "x264-params", params, 0);
   if (avcodec_open2(c, codec, NULL) < 0) {
     fprintf(stderr, "encoder open failed\n");
