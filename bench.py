@@ -7,36 +7,45 @@ Prints ONE JSON line:
 vs_baseline is against BASELINE.json's north-star target of 1000 1080p
 I-frames/s/chip (the reference publishes no numbers of its own).
 
-`value` is the END-OF-PIPE throughput of the overlapped pipeline on a
-real 1080p CAVLC stream (two distinct encoded frames):
+Streams: REAL x264-encoded 1920x1088 all-intra content (8 distinct
+frames, QP 26, libx264 via tools/x264_fixture.c — the same independent
+provenance as the golden tests), one CAVLC and one CABAC stream, plus a
+4-slice CABAC variant for the slice-parallel host mode.  Falls back to
+the round-3 synthetic fixtures if libx264 tooling is unavailable.
+Measured bins/frame (CABAC) and bits/frame are reported next to fps.
+
+`value` is the END-OF-PIPE throughput of the overlapped pipeline:
 
   host stage   — slice entropy decode (native C++ parser, thread pool,
-                 GIL released) into slab staging (adaptive layout:
-                 settings.staging_mode picks cache-friendly "records"
-                 on host-starved machines like this 2-core VM, or the
-                 kernel-feed "device" layout when cores are plentiful);
+                 GIL released; slices of multi-slice pictures fan out
+                 individually) into slab staging (adaptive layout:
+                 settings.staging_mode), software-pipelined so staging
+                 allocation and batch packing overlap the pool's parse
+                 of the next batch;
   device stage — single-kernel Pallas wavefront reconstruction with
                  in-kernel residual construction (ops/recon_fused.py)
-                 to raster YUV planes.  Reported for BOTH staging
-                 layouts: `device_fps` uses the device layout (the
-                 production device stage on a non-starved host),
-                 `device_fps_records_staging` the records layout the
-                 overlapped e2e run uses here.
+                 to raster YUV planes.  Kernel specialization
+                 (has8x8/haspcm) is derived per pack, and one decoded
+                 frame per staging layout is read back and asserted
+                 bit-exact against the numpy oracle on every bench run
+                 (guards against device-compiler miscompiles that the
+                 CPU test suite cannot see).
 
 The two stages run CONCURRENTLY on their real work and the wall clock
 of the joint run gives the pipeline throughput, exactly as a co-located
-host+chip deployment overlaps them.  Host<->device transfer is excluded
-and reported separately: this box reaches its single TPU chip through a
-relay tunnel measured at ~3 MB/s up / ~7 MB/s down (see stderr), an
-environment artifact three orders of magnitude below a v5e host's PCIe
-link; including it would benchmark the tunnel, not the framework.
-
-Per-stage numbers (device-only fps, entropy fps for BOTH entropy
-coders, pack cost, tunnel bandwidth) go to stderr.
+host+chip deployment overlaps them.  Aggregation is reported in the
+JSON ("runs", "aggregation", and a median alongside the best).
+Host<->device transfer is excluded and reported separately: this box
+reaches its single TPU chip through a relay tunnel measured at
+~3 MB/s up / ~7 MB/s down, an environment artifact three orders of
+magnitude below a v5e host's PCIe link; including it would benchmark
+the tunnel, not the framework.
 """
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import threading
 import time
@@ -51,6 +60,12 @@ import numpy as np
 WMB, HMB = 120, 68          # 1920x1088 coded size (1080p)
 BATCH = 16
 ITERS = 16                  # batches per measurement
+QP = 26
+N_FRAMES = 8                # distinct encoded pictures per stream
+NOISE = 7                   # x264_fixture noise mask: ~1.8 Mbit/frame
+#                             intra at QP 26, the natural-1080p band
+#                             (mask 31 produced ~8 Mbit worst-case
+#                             noise frames, 11.4 Mbins CABAC)
 
 
 def log(*a):
@@ -63,26 +78,46 @@ def _timed(fn):
     return time.time() - t0
 
 
-def get_stream(entropy: str) -> bytes:
-    path = os.path.join(ROOT, ".bench_cache", f"stream_1080p_{entropy}.264")
+def _have_x264():
+    if os.path.exists("/tmp/x264_fixture"):
+        return True
+    r = subprocess.run(
+        ["bash", os.path.join(ROOT, "tools", "build_x264_fixture.sh")],
+        capture_output=True, text=True)
+    return r.returncode == 0
+
+
+def get_stream(entropy: str, slices: int = 1) -> bytes:
+    tag = f"{entropy}_x264" + (f"_s{slices}" if slices > 1 else "")
+    path = os.path.join(ROOT, ".bench_cache", f"stream_1080p_{tag}.264")
     if os.path.exists(path):
         return open(path, "rb").read()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if _have_x264():
+        log(f"bench: encoding 1080p {tag} with libx264 (one-time)...")
+        r = subprocess.run(
+            ["/tmp/x264_fixture", path, "1920", "1088", str(N_FRAMES),
+             str(QP), "1" if entropy == "cabac" else "0", "0", "42",
+             str(slices), str(NOISE)],
+            capture_output=True, text=True, timeout=600)
+        if r.returncode == 0:
+            return open(path, "rb").read()
+        log("bench: x264 encode failed, falling back to synthetic:",
+            r.stderr[-200:])
     from fixtures.h264enc2 import make_stream2
-    log(f"bench: generating 1080p {entropy} fixture (one-time)...")
-    t0 = time.time()
+    log(f"bench: generating synthetic 1080p {entropy} fixture...")
     data = make_stream2(width_mbs=WMB, height_mbs=HMB, n_pictures=2,
                         seed=42, mb_kinds=("i16", "i4"), density=0.25,
                         entropy=entropy, allow_pcm=False)
-    log(f"bench: encoded {len(data)} bytes in {time.time()-t0:.1f}s")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
         f.write(data)
     return data
 
 
-def prep_slices(data):
-    """Parameter sets + per-IDR (nalu, header, sps, pps)."""
-    from minivideo_tpu.models.h264.decoder import H264Decoder
+def prep_pictures(data):
+    """Parameter sets + per-picture slice lists [(nalu, sh), ...]."""
+    from minivideo_tpu.models.h264.decoder import (H264Decoder,
+                                                   group_idr_access_units)
     from minivideo_tpu.models.h264.nalu import parse_nalu, split_annexb
     from minivideo_tpu.models.h264.slicehdr import parse_slice_header
     dec = H264Decoder()
@@ -90,32 +125,29 @@ def prep_slices(data):
     for n in nalus:
         if n.nal_unit_type in (7, 8):
             dec.feed_nalu(n)
-    out = []
-    for n in nalus:
-        if n.nal_unit_type != 5:
-            continue
-        sh, sps, pps = parse_slice_header(
-            n.rbsp, n.nal_unit_type, n.nal_ref_idc, dec.sps_map,
-            dec.pps_map)
-        out.append((n, sh, sps, pps))
-    return out
+    pictures = []
+    sps = pps = None
+    for group in group_idr_access_units(nalus):
+        pic = []
+        for n in group:
+            sh, sps, pps = parse_slice_header(
+                n.rbsp, n.nal_unit_type, n.nal_ref_idc, dec.sps_map,
+                dec.pps_map)
+            pic.append((n, sh))
+        pictures.append(pic)
+    return pictures, sps, pps
 
 
-def parse_frame(arg):
-    """One frame's entropy decode, written directly into the batch's
-    slab staging (host; no coefficient copies).  `mode` per
-    settings.staging_mode: "records" (v1 slot records — cache-friendly
-    host writes) or "device" (the kernel's feeds incl. meta rows —
-    cheapest device prep, ~40% more host CPU)."""
-    from minivideo_tpu.models.h264.syntax import FrameSyntax
-    staging, i, item, mode = arg
-    nalu, sh, sps, pps = item
-    fs = FrameSyntax(sps.pic_width_in_mbs, sps.pic_height_in_map_units,
-                     lite=True)
+def parse_slice_task(arg):
+    """One SLICE's entropy decode into its picture's staging row (host;
+    no coefficient copies).  Slices of a picture are entropy-independent
+    (h264_slice.c:1013-1139), so they fan out across the pool
+    individually — per-frame host latency scales with slice count."""
+    staging, row, fs, nalu, sh, pps, mode = arg
     if mode == "device":
         from minivideo_tpu.native import parse_slice_native_slab2
         parse_slice_native_slab2(
-            fs, staging, i, nalu.rbsp, sh.data_bit_offset,
+            fs, staging, row, nalu.rbsp, sh.data_bit_offset,
             sh.first_mb_in_slice, sh.qp,
             bool(pps.entropy_coding_mode_flag),
             bool(pps.transform_8x8_mode_flag),
@@ -124,30 +156,62 @@ def parse_frame(arg):
     else:
         from minivideo_tpu.native import parse_slice_native_slab
         parse_slice_native_slab(
-            fs, staging, i, nalu.rbsp, sh.data_bit_offset,
+            fs, staging, row, nalu.rbsp, sh.data_bit_offset,
             sh.first_mb_in_slice, sh.qp,
             bool(pps.entropy_coding_mode_flag),
             bool(pps.transform_8x8_mode_flag))
-    return fs
 
 
-def host_batch(slices, pool, mode):
-    """Entropy-decode one BATCH of frames (cycling the distinct encoded
-    frames) into slab staging.  Returns PackedFrames."""
-    from minivideo_tpu.ops.recon import (make_slab_staging,
-                                         make_slab_staging2,
-                                         pack_frames_slots,
-                                         pack_frames_slots2)
+def make_batch(pictures, sps, pps, mode):
+    """Allocate staging + FrameSyntax rows and build the slice task
+    list for one batch (cycling the distinct pictures)."""
+    from minivideo_tpu.models.h264.syntax import FrameSyntax
+    from minivideo_tpu.ops.recon import make_slab_staging, make_slab_staging2
     mk = make_slab_staging2 if mode == "device" else make_slab_staging
     staging = mk(WMB, HMB, BATCH)
-    items = [(staging, i, slices[i % len(slices)], mode)
-             for i in range(BATCH)]
-    fss = list(pool.map(parse_frame, items))
-    _, _, sps, pps = slices[0]
+    fss = [FrameSyntax(sps.pic_width_in_mbs, sps.pic_height_in_map_units,
+                       lite=True) for _ in range(BATCH)]
+    tasks = []
+    for row in range(BATCH):
+        for nalu, sh in pictures[row % len(pictures)]:
+            tasks.append((staging, row, fss[row], nalu, sh, pps, mode))
+    return staging, fss, tasks
+
+
+def pack_batch(staging, fss, sps, pps, mode):
+    from minivideo_tpu.ops.recon import (pack_frames_slots,
+                                         pack_frames_slots2)
     if mode == "device":
         return pack_frames_slots2(staging, sps, pps)
     return pack_frames_slots(staging, [(fs, None) for fs in fss],
                              sps, pps)
+
+
+def host_batch(pictures, sps, pps, pool, mode):
+    staging, fss, tasks = make_batch(pictures, sps, pps, mode)
+    list(pool.map(parse_slice_task, tasks))
+    return pack_batch(staging, fss, sps, pps, mode)
+
+
+def host_stream(pictures, sps, pps, pool, mode, iters, consume=None):
+    """Software-pipelined host stage: staging allocation for batch N+1
+    and packing of batch N overlap the pool's parse of the next batch
+    (the alloc+pack serial gap was the measured ~13% overlap loss of
+    the round-3 host worker)."""
+    staging, fss, tasks = make_batch(pictures, sps, pps, mode)
+    futs = [pool.submit(parse_slice_task, t) for t in tasks]
+    for i in range(iters):
+        if i + 1 < iters:
+            staging2, fss2, tasks2 = make_batch(pictures, sps, pps, mode)
+        for f in futs:
+            f.result()
+        if i + 1 < iters:
+            futs = [pool.submit(parse_slice_task, t) for t in tasks2]
+        pk = pack_batch(staging, fss, sps, pps, mode)
+        if consume is not None:
+            consume(pk)
+        if i + 1 < iters:
+            staging, fss = staging2, fss2
 
 
 def main():
@@ -156,6 +220,7 @@ def main():
                       os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+    from minivideo_tpu.native import cabac_bins_total
     from minivideo_tpu.ops.recon_fused import (
         make_reconstruct_fused_slots, make_reconstruct_fused_slots2)
     from minivideo_tpu.settings import staging_mode
@@ -166,47 +231,103 @@ def main():
     log("bench: device:", dev, f"| host cores: {ncpu} "
         f"| staging: {mode} (auto; see settings.staging_mode)")
 
-    # ---- host stage (auto staging mode) -----------------------------------
+    # ---- streams + host stage (auto staging mode) --------------------------
     pool = ThreadPoolExecutor(max_workers=ncpu)
     entropy_fps = {}
     packs = {}
     packs_dev = {}
-    all_slices = {}
+    packs_rec = {}
+    preps = {}
+    stream_bits = {}
+    bins_per_frame = 0
     for entropy in ("cavlc", "cabac"):
-        slices = prep_slices(get_stream(entropy))
-        all_slices[entropy] = slices
+        data = get_stream(entropy)
+        pictures, sps, pps = prep_pictures(data)
+        preps[entropy] = (pictures, sps, pps)
+        stream_bits[entropy] = len(data) * 8 // max(len(pictures), 1)
+        b0 = cabac_bins_total()
         t0 = time.time()
-        pk = host_batch(slices, pool, mode)
+        pk = host_batch(pictures, sps, pps, pool, mode)
         dt_first = time.time() - t0
-        dt = min(_timed(lambda: host_batch(slices, pool, mode))
+        if entropy == "cabac":
+            bins_per_frame = (cabac_bins_total() - b0) // BATCH
+        dt = min(_timed(lambda: host_batch(pictures, sps, pps, pool, mode))
                  for _ in range(2))
         entropy_fps[entropy] = BATCH / dt
         log(f"bench: host stage [{entropy}]: {dt*1000:.0f} ms/batch "
             f"({entropy_fps[entropy]:.1f} fps entropy+pack, {ncpu} threads;"
-            f" first {dt_first*1000:.0f} ms)")
+            f" first {dt_first*1000:.0f} ms; {len(pictures)} distinct"
+            f" pictures, {stream_bits[entropy]//1000} kbit/frame"
+            + (f", {bins_per_frame/1e6:.2f} Mbins/frame"
+               if entropy == "cabac" else "") + ")")
         packs[entropy] = pk
         packs_dev[entropy] = (pk if mode == "device"
-                              else host_batch(slices, pool, "device"))
+                              else host_batch(pictures, sps, pps, pool,
+                                              "device"))
+        packs_rec[entropy] = (pk if mode == "records"
+                              else host_batch(pictures, sps, pps, pool,
+                                              "records"))
+
+    # ---- slice-parallel host mode (4-slice stream) -------------------------
+    # single-PICTURE host latency: slices fan across the pool, so the
+    # per-frame wall time drops ~min(slices, cores)x vs sequential
+    slice_stats = None
+    try:
+        data4 = get_stream("cabac", slices=4)
+        pic4, sps4, pps4 = prep_pictures(data4)
+        from minivideo_tpu.models.h264.syntax import FrameSyntax
+        from minivideo_tpu.ops.recon import make_slab_staging
+
+        def one_pic(par):
+            staging = make_slab_staging(WMB, HMB, 1)
+            fs = FrameSyntax(sps4.pic_width_in_mbs,
+                             sps4.pic_height_in_map_units, lite=True)
+            tasks = [(staging, 0, fs, nalu, sh, pps4, "records")
+                     for nalu, sh in pic4[0]]
+            if par:
+                list(pool.map(parse_slice_task, tasks))
+            else:
+                for t in tasks:
+                    parse_slice_task(t)
+
+        one_pic(False)                      # warm pages
+        t_seq = min(_timed(lambda: one_pic(False)) for _ in range(3))
+        t_par = min(_timed(lambda: one_pic(True)) for _ in range(3))
+        slice_stats = {
+            "slices": len(pic4[0]),
+            "seq_ms": round(t_seq * 1000, 1),
+            "par_ms": round(t_par * 1000, 1),
+            "speedup": round(t_seq / t_par, 2),
+        }
+        log(f"bench: slice-parallel host [cabac, {len(pic4[0])} slices]: "
+            f"{t_seq*1000:.1f} ms/frame sequential -> {t_par*1000:.1f} ms "
+            f"fanned ({slice_stats['speedup']}x on {ncpu} cores)")
+    except Exception as e:                  # noqa: BLE001
+        log("bench: slice-parallel section skipped:", e)
 
     # ---- device stage ------------------------------------------------------
     # Both staging feeds are measured: "device" staging is the
-    # production device stage on a non-starved host (the parser emits
-    # the kernel feeds; cheapest device pass), "records" staging is
-    # what the overlapped run below uses when the host is the
-    # bottleneck (auto mode).  Kernel variant = what the production
-    # dispatcher picks for this stream (has8x8 from the PPS, haspcm
-    # from the batch scan).
-    pk0 = packs["cavlc"]
-    log(f"bench: kernel variant: has8x8={pk0.has8x8} haspcm={pk0.haspcm}")
-    fn_dev = make_reconstruct_fused_slots2(WMB, HMB, BATCH,
-                                           has8x8=pk0.has8x8,
-                                           haspcm=pk0.haspcm)
-    fn_rec = (None if mode == "device" else
-              make_reconstruct_fused_slots(WMB, HMB, BATCH,
-                                           has8x8=pk0.has8x8,
-                                           haspcm=pk0.haspcm))
+    # production device stage on a non-starved host, "records" staging
+    # is what the overlapped run below uses when the host is the
+    # bottleneck (auto mode).  Kernel variants are built PER PACK from
+    # that pack's own has8x8/haspcm (the specialization the production
+    # dispatcher applies).
+    fn_cache = {}
+
+    def get_fns(pk):
+        key = (pk.has8x8, pk.haspcm)
+        if key not in fn_cache:
+            fn_cache[key] = (
+                make_reconstruct_fused_slots2(WMB, HMB, BATCH,
+                                              has8x8=pk.has8x8,
+                                              haspcm=pk.haspcm),
+                make_reconstruct_fused_slots(WMB, HMB, BATCH,
+                                             has8x8=pk.has8x8,
+                                             haspcm=pk.haspcm))
+        return fn_cache[key]
 
     def bind(pk):
+        fn_dev, fn_rec = get_fns(pk)
         ls4 = jnp.asarray(pk.ls4)
         ls8 = jnp.asarray(pk.ls8)
         if pk.slots == 2:
@@ -221,9 +342,13 @@ def main():
         cb_off, cr_off = pk.chroma_qp_off
         return lambda: fn_rec(small, *slabs, ls4, ls8, cb_off, cr_off)
 
-    dev_fns = {e: bind(pk) for e, pk in packs.items()}
-    dev_fns_dev = (dev_fns if mode == "device"
-                   else {e: bind(pk) for e, pk in packs_dev.items()})
+    pk0 = packs["cavlc"]
+    log(f"bench: kernel variant [cavlc pack]: has8x8={pk0.has8x8} "
+        f"haspcm={pk0.haspcm}")
+    dev_fns_rec = {e: bind(pk) for e, pk in packs_rec.items()}
+    dev_fns_dev = {e: bind(pk) for e, pk in packs_dev.items()}
+    # the overlapped e2e run consumes whatever layout `mode` selected
+    dev_fns = dev_fns_dev if mode == "device" else dev_fns_rec
 
     def sync(y):
         # tiny dependent readback: the only reliable fence on this
@@ -246,12 +371,31 @@ def main():
     run_device(fns=dev_fns_dev)
     log(f"bench: first call (compile) {time.time()-t0:.1f}s")
     run_device(1, "cabac", fns=dev_fns_dev)
-    if fn_rec is not None:
-        t0 = time.time()
-        run_device()
-        log(f"bench: first call records-feed (compile) "
-            f"{time.time()-t0:.1f}s")
-        run_device(1, "cabac")
+    t0 = time.time()
+    run_device(fns=dev_fns_rec)
+    log(f"bench: first call records-feed (compile) {time.time()-t0:.1f}s")
+    run_device(1, "cabac", fns=dev_fns_rec)
+
+    # ---- on-TPU output assertion (every bench run) -------------------------
+    # one full frame per staging layout is read back over the tunnel and
+    # asserted bit-exact vs the numpy oracle: the CPU test suite runs
+    # the kernels in interpret mode, so ONLY this check would catch a
+    # Mosaic miscompile shipping fast wrong pixels
+    t0 = time.time()
+    from minivideo_tpu.models.h264.decoder import decode_annexb
+    oracle = decode_annexb(get_stream("cavlc"), max_pictures=1,
+                           engine="np")[0]
+    for name, fns in (("device", dev_fns_dev), ("records", dev_fns_rec)):
+        y, cb, cr = fns["cavlc"]()
+        np.testing.assert_array_equal(np.asarray(y[0]), oracle.y,
+                                      err_msg=f"Y {name} staging")
+        np.testing.assert_array_equal(np.asarray(cb[0]), oracle.cb,
+                                      err_msg=f"Cb {name} staging")
+        np.testing.assert_array_equal(np.asarray(cr[0]), oracle.cr,
+                                      err_msg=f"Cr {name} staging")
+    log(f"bench: on-TPU output check: both staging layouts bit-exact vs "
+        f"numpy oracle ({time.time()-t0:.1f}s incl. oracle decode + "
+        f"tunnel readback)")
 
     from minivideo_tpu.profiling import device_trace
     t0 = time.time()
@@ -261,29 +405,29 @@ def main():
     device_fps = BATCH * ITERS / dt
     log(f"bench: device stage [device staging]: {dt/ITERS*1000:.0f} "
         f"ms/batch ({device_fps:.1f} fps, pipelined dispatch)")
-    device_fps_records = None
-    if fn_rec is not None:
-        t0 = time.time()
-        run_device(ITERS)
-        dt = time.time() - t0
-        device_fps_records = BATCH * ITERS / dt
-        log(f"bench: device stage [records staging]: {dt/ITERS*1000:.0f} "
-            f"ms/batch ({device_fps_records:.1f} fps)")
+    t0 = time.time()
+    run_device(ITERS, fns=dev_fns_rec)
+    dt = time.time() - t0
+    device_fps_records = BATCH * ITERS / dt
+    log(f"bench: device stage [records staging]: {dt/ITERS*1000:.0f} "
+        f"ms/batch ({device_fps_records:.1f} fps)")
 
     # ---- overlapped pipeline, BOTH entropy coders --------------------------
     # host and device stages run concurrently on their real work; wall
     # clock over ITERS batches = end-of-pipe throughput of a co-located
     # deployment (transfer excluded; see module docstring)
+    RUNS = 2
     e2e = {}
+    e2e_median = {}
     for entropy in ("cavlc", "cabac"):
+        pictures, sps, pps = preps[entropy]
 
         def one_run():
             err = []
 
             def host_worker():
                 try:
-                    for _ in range(ITERS):
-                        host_batch(all_slices[entropy], pool, mode)
+                    host_stream(pictures, sps, pps, pool, mode, ITERS)
                 except Exception as e:                # noqa: BLE001
                     err.append(e)
 
@@ -297,12 +441,15 @@ def main():
                 raise err[0]
             return BATCH * ITERS / dt
 
-        # two runs, best-of: the first run after the big compiles and
-        # transfers routinely eats a transient on this shared 2-core VM
-        fps = max(one_run(), one_run())
-        e2e[entropy] = fps
+        # two runs: the first after the big compiles/transfers routinely
+        # eats a transient on this shared 2-core VM; JSON records the
+        # aggregation (best) plus the median
+        runs = [one_run() for _ in range(RUNS)]
+        e2e[entropy] = max(runs)
+        e2e_median[entropy] = statistics.median(runs)
         log(f"bench: overlapped [{entropy}]: {BATCH*ITERS} frames/run, "
-            f"best of 2 -> {fps:.1f} fps end-of-pipe")
+            f"runs={RUNS} best={e2e[entropy]:.1f} "
+            f"median={e2e_median[entropy]:.1f} fps end-of-pipe")
 
     print(json.dumps({
         "metric": "1080p_iframes_per_s",
@@ -311,12 +458,22 @@ def main():
         "vs_baseline": round(e2e["cavlc"] / 1000.0, 3),
         "value_cavlc": round(e2e["cavlc"], 2),
         "value_cabac": round(e2e["cabac"], 2),
+        "value_cavlc_median": round(e2e_median["cavlc"], 2),
+        "value_cabac_median": round(e2e_median["cabac"], 2),
+        "runs": RUNS,
+        "aggregation": "best",
+        "stream": "x264" if _have_x264() else "synthetic",
+        "distinct_frames": len(preps["cavlc"][0]),
+        "qp": QP,
+        "bits_per_frame_cavlc": stream_bits["cavlc"],
+        "bits_per_frame_cabac": stream_bits["cabac"],
+        "bins_per_frame_cabac": int(bins_per_frame),
         "device_fps": round(device_fps, 1),
-        "device_fps_records_staging": (
-            None if device_fps_records is None
-            else round(device_fps_records, 1)),
+        "device_fps_records_staging": round(device_fps_records, 1),
         "entropy_cavlc_fps": round(entropy_fps["cavlc"], 1),
         "entropy_cabac_fps": round(entropy_fps["cabac"], 1),
+        "slice_parallel": slice_stats,
+        "tpu_output_check": "bit-exact",
         "host_cores": ncpu,
         "staging": mode,
         "tunnel_transfer_excluded": True,

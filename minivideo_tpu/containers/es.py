@@ -26,9 +26,11 @@ _SEI = 6
 
 def es_parse(media: MediaFile, codec: Codec = Codec.H264) -> bool:
     """Scan an H.264 Annex-B file into a single video track."""
+    from ..bufio import FileWindow
     fh = media.file_handle
-    fh.seek(0)
-    data = fh.read()
+    # bounded-memory sliding window (reference bitstream.c:51); the
+    # parse logic below is byte-identical to in-memory operation
+    data = FileWindow(fh, media.file_size)
     types, sizes, offsets = [], [], []
     n = len(data)
     i = data.find(b"\x00\x00\x01")

@@ -81,10 +81,11 @@ def _uint(data, start, end):
 
 
 def mkv_parse(media: MediaFile) -> bool:
+    from ..bufio import FileWindow
     fh = media.file_handle
-    fh.seek(0)
-    data = fh.read()
-    if data[:4] != b"\x1a\x45\xdf\xa3":
+    # bounded-memory sliding window (reference bitstream.c:51)
+    data = FileWindow(fh, media.file_size)
+    if data[0:4] != b"\x1a\x45\xdf\xa3":
         return False
     ok = False
     for eid, start, end in _iter_elements(data, 0, len(data)):

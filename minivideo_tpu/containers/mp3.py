@@ -78,9 +78,11 @@ def _skip_tags(data: bytes) -> int:
 
 
 def mp3_parse(media: MediaFile) -> bool:
+    from ..bufio import FileWindow
     fh = media.file_handle
-    fh.seek(0)
-    data = fh.read()
+    # bounded-memory sliding window (reference bitstream.c:51); the
+    # parse logic below is byte-identical to in-memory operation
+    data = FileWindow(fh, media.file_size)
     n = len(data)
     pos = _skip_tags(data)
 

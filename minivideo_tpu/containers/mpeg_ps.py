@@ -17,9 +17,11 @@ from . import pes as P
 
 
 def ps_parse(media: MediaFile) -> bool:
+    from ..bufio import FileWindow
     fh = media.file_handle
-    fh.seek(0)
-    data = fh.read()
+    # bounded-memory sliding window (reference bitstream.c:51); the
+    # parse logic below is byte-identical to in-memory operation
+    data = FileWindow(fh, media.file_size)
     n = len(data)
     audio = {}   # stream_id -> list of (off, size, pts, dts)
     video = {}

@@ -20,7 +20,8 @@ from ..media import MediaFile, Track
 from .. import trace
 
 _NATIVE_CONTAINERS = {Container.MP4, Container.AVI, Container.WAVE,
-                      Container.MPEG_PS, Container.ES, Container.ES_MP3}
+                      Container.MPEG_PS, Container.ES, Container.ES_MP3,
+                      Container.MKV, Container.MPEG_TS}
 
 
 def _bind(lib):
@@ -41,6 +42,10 @@ def _bind(lib):
     lib.mv_demux_track_psets.restype = ctypes.c_int64
     lib.mv_demux_track_psets.argtypes = [ctypes.c_void_p, ctypes.c_int32,
                                          ctypes.c_void_p, ctypes.c_int64]
+    lib.mv_demux_track_frags.restype = ctypes.c_int32
+    lib.mv_demux_track_frags.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.mv_demux_close.restype = None
     lib.mv_demux_close.argtypes = [ctypes.c_void_p]
     lib._demux_bound = True
@@ -94,8 +99,24 @@ def native_demux(media: MediaFile) -> bool:
                     p += 2
                     psets.append(raw[p:p + ln2])
                     p += ln2
+            frags = None
+            if media.container == Container.MPEG_TS and info[19] > 0:
+                # TS: scattered payload fragments (info[19] = count)
+                fo = np.zeros(int(info[19]), np.int64)
+                fs_ = np.zeros(int(info[19]), np.int64)
+                fc = np.zeros(n, np.int32)
+                lib.mv_demux_track_frags(
+                    h, ti, fo.ctypes.data_as(ctypes.c_void_p),
+                    fs_.ctypes.data_as(ctypes.c_void_p),
+                    fc.ctypes.data_as(ctypes.c_void_p))
+                frags = []
+                k = 0
+                for c in fc:
+                    frags.append([(int(fo[j]), int(fs_[j]))
+                                  for j in range(k, k + int(c))])
+                    k += int(c)
             t = _build_track(media.container, info, types, sizes, offs,
-                             pts, dts, psets)
+                             pts, dts, psets, frags)
             if t is not None:
                 if media.container == Container.MPEG_PS:
                     _sniff_ps_metadata(media, t, int(info[9]) == 0xBD)
@@ -192,7 +213,7 @@ def _resolve_codec(info) -> Codec:
 
 
 def _build_track(container, info, types, sizes, offs, pts, dts,
-                 psets) -> Track | None:
+                 psets, frags=None) -> Track | None:
     n = len(types)
     stream_type = StreamType(int(info[0]))
     t = Track(
@@ -262,6 +283,23 @@ def _build_track(container, info, types, sizes, offs, pts, dts,
         t.compute_stats()
     elif container == Container.ES:
         t.set_samples(types, sizes, offs)
+        t.compute_stats()
+    elif container == Container.MKV:
+        # tick -> ns via TimestampScale, exactly as containers/mkv.py
+        timescale = int(info[10]) or 1_000_000
+        if n:
+            t.set_samples(types, sizes, offs, pts * timescale,
+                          dts * timescale)
+            t.compute_stats()
+        t.timescale = t.duration_units = 0
+        if t.stream_codec == Codec.H264 and psets:
+            t.length_prefixed = True
+    elif container == Container.MPEG_TS:
+        # 90 kHz -> ns + fragment lists, exactly as containers/ts.py
+        pts_ns = np.where(pts >= 0, pts * 100000 // 9, -1).astype(np.int64)
+        dts_ns = np.where(dts >= 0, dts * 100000 // 9, -1).astype(np.int64)
+        t.set_samples(types, sizes, offs, pts_ns, dts_ns)
+        t.fragments = frags
         t.compute_stats()
     elif container == Container.ES_MP3:
         # synthesized PTS exactly as containers/mp3.py:122-129

@@ -52,9 +52,11 @@ class _PesAcc:
 
 
 def ts_parse(media: MediaFile) -> bool:
+    from ..bufio import FileWindow
     fh = media.file_handle
-    fh.seek(0)
-    data = fh.read()
+    # bounded-memory sliding window (reference bitstream.c:51); the
+    # parse logic below is byte-identical to in-memory operation
+    data = FileWindow(fh, media.file_size)
     n = len(data)
 
     pmt_pids: set[int] = set()

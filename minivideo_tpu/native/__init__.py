@@ -67,8 +67,17 @@ def load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_void_p),
     ]
+    lib.mv_cabac_bins_total.restype = ctypes.c_uint64
+    lib.mv_cabac_bins_total.argtypes = []
     _lib = lib
     return lib
+
+
+def cabac_bins_total() -> int:
+    """Total CABAC bins decoded by this process (all threads); sample a
+    delta around a workload for measured bins/frame observability."""
+    lib = load()
+    return int(lib.mv_cabac_bins_total()) if lib is not None else 0
 
 
 def available() -> bool:

@@ -41,20 +41,32 @@ enum StreamType : int64_t { ST_UNKNOWN = 0, ST_AUDIO = 1, ST_VIDEO = 2,
                             ST_TEXT = 3 };
 enum SampleType : int32_t { SA_AUDIO = 1, SA_VIDEO = 3, SA_VIDEO_SYNC = 4,
                             SA_VIDEO_PARAM = 5, SA_TEXT = 6, SA_OTHER = 8 };
-enum Container : int32_t { C_AVI = 1, C_MP4 = 4, C_MPEG_PS = 5, C_WAVE = 13,
-                           C_ES = 16, C_ES_MP3 = 19 };
+enum Container : int32_t { C_AVI = 1, C_MKV = 3, C_MP4 = 4, C_MPEG_PS = 5,
+                           C_MPEG_TS = 6, C_WAVE = 13, C_ES = 16,
+                           C_ES_MP3 = 19 };
 enum Codec : int64_t { CO_UNKNOWN = 0, CO_MPEG_L1 = 1, CO_MPEG_L2 = 2,
-                       CO_MPEG_L3 = 3, CO_AC3 = 35, CO_MPEG2 = 258,
-                       CO_H264 = 262 };
+                       CO_MPEG_L3 = 3, CO_AAC = 4, CO_VORBIS = 33,
+                       CO_OPUS = 34, CO_AC3 = 35, CO_EAC3 = 38,
+                       CO_DTS = 42, CO_FLAC = 65, CO_LPCM = 128,
+                       CO_MPEG1 = 256, CO_MPEG2 = 258,
+                       CO_MPEG4_ASP = 259, CO_H264 = 262, CO_H265 = 263,
+                       CO_VP4 = 270, CO_VP8 = 274, CO_VP9 = 275 };
 
 struct NTrack {
   int64_t info[24] = {0};
   std::vector<int32_t> type;
   std::vector<int64_t> size, off, pts, dts;
   std::string psets;                       // packed [u16be len][bytes]...
+  // per-sample fragment lists (TS: payload scattered across transport
+  // packets); flattened as (off,size) runs with per-sample counts.
+  // info[19] carries the total fragment count (0 = contiguous samples).
+  std::vector<int64_t> frag_off, frag_size;
+  std::vector<int32_t> frag_cnt;
   void finalize() {
     info[13] = static_cast<int64_t>(type.size());
     info[14] = static_cast<int64_t>(psets.size());
+    if (!frag_off.empty())              // info[19] is container-specific
+      info[19] = static_cast<int64_t>(frag_off.size());  // for TS only
   }
 };
 
@@ -62,23 +74,52 @@ struct Demux {
   std::vector<NTrack> tracks;
 };
 
-// ---- buffered whole-file view ---------------------------------------------
+// ---- bounded sliding-window file view -------------------------------------
+// The reference streams through a 128 KiB buffer (bitstream.c:51,
+// buffer_feed_dynamic :259-338); this view keeps at most WIN bytes
+// resident regardless of file size (round 3 slurped whole files).
+// Out-of-range bytes read as 0, matching the old whole-file view's
+// zero-padding.  ptr() pointers are INVALIDATED by any later access
+// that re-centres the window — callers copy what they hold across
+// further reads.
 struct Buf {
-  std::vector<uint8_t> d;
-  size_t n = 0;
+  FILE* f = nullptr;
+  size_t n = 0;                          // file size
+  static constexpr size_t WIN = 1 << 20;
+  mutable std::vector<uint8_t> w;
+  mutable size_t wbase = 0;
+  mutable bool wvalid = false;
+
+  ~Buf() {
+    if (f) std::fclose(f);
+  }
   bool load(const char* path) {
-    FILE* f = std::fopen(path, "rb");
+    f = std::fopen(path, "rb");
     if (!f) return false;
     std::fseek(f, 0, SEEK_END);
     long sz = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    if (sz < 0) { std::fclose(f); return false; }
-    d.resize(static_cast<size_t>(sz));
-    n = std::fread(d.data(), 1, d.size(), f);
-    std::fclose(f);
-    return n == d.size();
+    if (sz < 0) return false;
+    n = static_cast<size_t>(sz);
+    w.assign(WIN, 0);
+    return true;
   }
-  uint8_t u8(size_t p) const { return p < n ? d[p] : 0; }
+  // make [p, p+len) resident (len clamped to WIN) and return its pointer
+  const uint8_t* ptr(size_t p, size_t len) const {
+    if (len > WIN) len = WIN;
+    if (!wvalid || p < wbase || p + len > wbase + WIN) {
+      std::fill(w.begin(), w.end(), 0);
+      wbase = p;
+      if (p < n) {
+        std::fseek(f, (long)p, SEEK_SET);
+        size_t want = std::min(WIN, n - p);
+        size_t got = std::fread(w.data(), 1, want, f);
+        (void)got;
+      }
+      wvalid = true;
+    }
+    return w.data() + (p - wbase);
+  }
+  uint8_t u8(size_t p) const { return p < n ? *ptr(p, 1) : 0; }
   uint16_t be16(size_t p) const { return (uint16_t)((u8(p) << 8) | u8(p + 1)); }
   uint32_t be24(size_t p) const {
     return ((uint32_t)u8(p) << 16) | ((uint32_t)u8(p + 1) << 8) | u8(p + 2);
@@ -96,20 +137,32 @@ struct Buf {
            ((uint32_t)u8(p + 2) << 16) | ((uint32_t)u8(p + 3) << 24);
   }
   bool tag(size_t p, const char* t) const {
-    return p + 4 <= n && std::memcmp(d.data() + p, t, 4) == 0;
+    return p + 4 <= n && std::memcmp(ptr(p, 4), t, 4) == 0;
   }
-  // find 00 00 01, returning index or npos
+  // find 00 00 01, scanning window-by-window with a 2-byte carry
   size_t find_startcode(size_t from) const {
-    if (n < 3) return std::string::npos;
-    for (size_t i = from; i + 3 <= n; ++i)
-      if (d[i] == 0 && d[i + 1] == 0 && d[i + 2] == 1) return i;
+    size_t pos = from;
+    while (pos + 3 <= n) {
+      size_t span = std::min(WIN, n - pos);
+      const uint8_t* d = ptr(pos, span);
+      for (size_t i = 0; i + 3 <= span; ++i)
+        if (d[i] == 0 && d[i + 1] == 0 && d[i + 2] == 1) return pos + i;
+      if (span < 3 || pos + span >= n) break;
+      pos += span - 2;
+    }
     return std::string::npos;
   }
   size_t find_byte(uint8_t b, size_t from) const {
-    const void* p = (from < n)
-        ? std::memchr(d.data() + from, b, n - from) : nullptr;
-    return p ? static_cast<size_t>(
-        reinterpret_cast<const uint8_t*>(p) - d.data()) : std::string::npos;
+    size_t pos = from;
+    while (pos < n) {
+      size_t span = std::min(WIN, n - pos);
+      const uint8_t* d = ptr(pos, span);
+      const void* hit = std::memchr(d, b, span);
+      if (hit)
+        return pos + (size_t)(reinterpret_cast<const uint8_t*>(hit) - d);
+      pos += span;
+    }
+    return std::string::npos;
   }
 };
 
@@ -168,7 +221,7 @@ void mp4_parse_avcc(const Buf& b, size_t p, size_t end, Mp4Raw& tr) {
       if (q + ln > end) return;
       char lenb[2] = {(char)(ln >> 8), (char)(ln & 0xFF)};
       tr.psets.append(lenb, 2);
-      tr.psets.append(reinterpret_cast<const char*>(b.d.data() + q), ln);
+      tr.psets.append(reinterpret_cast<const char*>(b.ptr(q, ln)), ln);
       q += ln;
     }
   };
@@ -188,7 +241,7 @@ void mp4_parse_stsd(const Buf& b, size_t p, size_t end, Mp4Raw& tr) {
     size_t es = q;
     uint32_t size = b.be32(q);
     if (size < 8 || es + size > end + 8) { /* tolerate */ }
-    tr.fcc = fourcc_be(b.d.data() + q + 4);
+    tr.fcc = fourcc_be(b.ptr(q + 4, 4));
     if (std::memcmp(tr.handler, "vide", 4) == 0) {
       size_t v = q + 8;
       v += 6 + 2;                 // reserved + data_reference_index
@@ -262,7 +315,8 @@ void mp4_walk(const Buf& b, size_t start, size_t end, Mp4Ctx& ctx,
   size_t pos = start;
   while (pos + 8 <= end) {
     uint64_t size = b.be32(pos);
-    const uint8_t* btype = b.d.data() + pos + 4;
+    uint8_t btype[4];                 // copy: the window may re-centre
+    std::memcpy(btype, b.ptr(pos + 4, 4), 4);
     uint64_t hdr = 8;
     if (size == 1) {
       size = b.be64(pos + 8);
@@ -312,7 +366,7 @@ void mp4_parse_box(const Buf& b, const uint8_t* btype, size_t start,
     }
     if (track->timescale == 0) track->timescale = 1;
   } else if (std::memcmp(btype, "hdlr", 4) == 0 && track) {
-    std::memcpy(track->handler, b.d.data() + p + 8, 4);
+    std::memcpy(track->handler, b.ptr(p + 8, 4), 4);
   } else if (std::memcmp(btype, "stsd", 4) == 0 && track) {
     mp4_parse_stsd(b, p, end, *track);
   } else if (std::memcmp(btype, "stts", 4) == 0 && track) {
@@ -524,13 +578,15 @@ struct AviCtx {
 void avi_walk(const Buf& b, size_t pos, size_t end, AviCtx& ctx) {
   // sibling chunk iteration with parent clamping (riff.py iter_chunks)
   while (pos + 8 <= end) {
-    const uint8_t* fcc = b.d.data() + pos;
+    uint8_t fcc[4];                   // copy: the window may re-centre
+    std::memcpy(fcc, b.ptr(pos, 4), 4);
     uint32_t size = b.le32(pos + 4);
     size_t off = pos + 8;
     if (off + size > end) size = (uint32_t)(end - off);
     if (std::memcmp(fcc, "LIST", 4) == 0 ||
         std::memcmp(fcc, "RIFF", 4) == 0) {
-      const uint8_t* lt = b.d.data() + off;
+      uint8_t lt[4];
+      std::memcpy(lt, b.ptr(off, 4), 4);
       size_t loff = off + 4;
       size_t lsize = size - 4;
       if (std::memcmp(lt, "movi", 4) == 0) {
@@ -540,8 +596,8 @@ void avi_walk(const Buf& b, size_t pos, size_t end, AviCtx& ctx) {
       }
     } else if (std::memcmp(fcc, "strh", 4) == 0) {
       AviStream s;
-      std::memcpy(s.fcc_type, b.d.data() + off, 4);
-      s.handler_fcc = fourcc_be(b.d.data() + off + 4);
+      std::memcpy(s.fcc_type, b.ptr(off, 4), 4);
+      s.handler_fcc = fourcc_be(b.ptr(off + 4, 4));
       s.scale = b.le32(off + 20);
       if (!s.scale) s.scale = 1;
       s.rate = b.le32(off + 24);
@@ -553,7 +609,7 @@ void avi_walk(const Buf& b, size_t pos, size_t end, AviCtx& ctx) {
         s.width = (int32_t)b.le32(off + 4);
         int32_t h = (int32_t)b.le32(off + 8);
         s.height = h < 0 ? -h : h;
-        s.comp_fcc = fourcc_be(b.d.data() + off + 16);
+        s.comp_fcc = fourcc_be(b.ptr(off + 16, 4));
       } else if (std::memcmp(s.fcc_type, "auds", 4) == 0 && size >= 16) {
         s.wave_tag = b.le16(off);
         s.channels = b.le16(off + 2);
@@ -692,7 +748,8 @@ bool parse_wave(const Buf& b, Demux& dm) {
                                         0x80, 0x00, 0x00, 0xAA, 0x00, 0x38,
                                         0x9B, 0x71};
   while (pos + 8 <= end) {
-    const uint8_t* fcc = b.d.data() + pos;
+    uint8_t fcc[4];                   // copy: the window may re-centre
+    std::memcpy(fcc, b.ptr(pos, 4), 4);
     uint32_t size = b.le32(pos + 4);
     size_t off = pos + 8;
     if (off + size > end) size = (uint32_t)(end - off);
@@ -706,7 +763,7 @@ bool parse_wave(const Buf& b, Demux& dm) {
         int64_t valid_bits = b.le16(off + 18);
         if (valid_bits) bits = valid_bits;
         if (off + 42 <= end &&
-            std::memcmp(b.d.data() + off + 28, kKsSuffix, 14) == 0)
+            std::memcmp(b.ptr(off + 28, 14), kKsSuffix, 14) == 0)
           tag = b.le16(off + 26);          // embedded classic tag
       }
     } else if (std::memcmp(fcc, "fact", 4) == 0 && size >= 4) {
@@ -1091,6 +1148,568 @@ bool parse_mp3(const Buf& b, Demux& dm) {
   return true;
 }
 
+
+// ===========================================================================
+// MKV / EBML (reference mkv.c/ebml.c extract NOTHING, mkv.c:39-197;
+// contract: containers/mkv.py, which exceeds the reference)
+// ===========================================================================
+
+// EBML vint at p; *len_out = byte length (0 on error)
+uint64_t mkv_vint(const Buf& b, size_t p, size_t end, int* len_out,
+                  bool strip) {
+  *len_out = 0;
+  if (p >= end) return 0;
+  uint8_t first = b.u8(p);
+  if (first == 0) return 0;
+  int length = 1;
+  while (!(first & (0x80 >> (length - 1)))) length++;
+  if (p + length > end) return 0;
+  uint64_t v = first;
+  if (strip) v &= (1u << (8 - length)) - 1;
+  for (int i = 1; i < length; i++) v = (v << 8) | b.u8(p + i);
+  *len_out = length;
+  return v;
+}
+
+struct MkvEl {
+  uint64_t id;
+  size_t payload, end;
+};
+
+// next child element at *pos inside [.., end); advances *pos past it
+bool mkv_next(const Buf& b, size_t* pos, size_t end, MkvEl* el) {
+  int n1, n2;
+  uint64_t id = mkv_vint(b, *pos, end, &n1, false);
+  if (!n1) return false;
+  uint64_t size = mkv_vint(b, *pos + n1, end, &n2, true);
+  if (!n2) return false;
+  el->id = id;
+  el->payload = *pos + n1 + n2;
+  el->end = std::min(el->payload + (size_t)size, end);
+  *pos = el->payload + (size_t)size;
+  return true;
+}
+
+uint64_t mkv_uint(const Buf& b, size_t s, size_t e) {
+  uint64_t v = 0;
+  for (size_t i = s; i < e; i++) v = (v << 8) | b.u8(i);
+  return v;
+}
+
+int64_t mkv_codec_id(const std::string& cid) {
+  struct { const char* id; int64_t c; } map[] = {
+      {"V_MPEG4/ISO/AVC", CO_H264}, {"V_MPEGH/ISO/HEVC", CO_H265},
+      {"V_MPEG4/ISO/ASP", CO_MPEG4_ASP}, {"V_MPEG2", CO_MPEG2},
+      {"V_MPEG1", CO_MPEG1}, {"V_VP8", CO_VP8}, {"V_VP9", CO_VP9},
+      {"V_THEORA", CO_VP4}, {"A_AAC", CO_AAC}, {"A_MPEG/L3", CO_MPEG_L3},
+      {"A_MPEG/L2", CO_MPEG_L2}, {"A_AC3", CO_AC3}, {"A_EAC3", CO_EAC3},
+      {"A_DTS", CO_DTS}, {"A_VORBIS", CO_VORBIS}, {"A_OPUS", CO_OPUS},
+      {"A_FLAC", CO_FLAC}, {"A_PCM/INT/LIT", CO_LPCM}};
+  for (auto& m : map)
+    if (cid == m.id) return m.c;
+  return CO_UNKNOWN;
+}
+
+// avcC CodecPrivate -> packed psets + NAL length size (mkv.py
+// _parse_avcc_bytes; same record as mp4 avcC)
+void mkv_avcc(const std::string& blob, NTrack& t) {
+  if (blob.size() < 7 || (uint8_t)blob[0] != 1) return;
+  t.info[12] = ((uint8_t)blob[4] & 0x3) + 1;
+  size_t p = 5;
+  int n_sps = (uint8_t)blob[p] & 0x1F;
+  p += 1;
+  auto take = [&](int count) {
+    for (int i = 0; i < count; i++) {
+      if (p + 2 > blob.size()) return;
+      size_t ln = ((uint8_t)blob[p] << 8) | (uint8_t)blob[p + 1];
+      p += 2;
+      if (p + ln > blob.size()) return;
+      char lenb[2] = {(char)(ln >> 8), (char)(ln & 0xFF)};
+      t.psets.append(lenb, 2);
+      t.psets.append(blob, p, ln);
+      p += ln;
+    }
+  };
+  take(n_sps);
+  if (p < blob.size()) {
+    int n_pps = (uint8_t)blob[p];
+    p += 1;
+    take(n_pps);
+  }
+}
+
+struct MkvBlockRef {
+  int64_t off, size, ts;
+  uint8_t key;
+};
+
+// (Simple)Block: vint TrackNumber, s16 relative ts, flags, lacing,
+// 1..n frames (mkv.py _parse_block; all four lacing modes)
+void mkv_block(const Buf& b, size_t start, size_t end, int64_t cluster_ts,
+               std::vector<std::pair<uint64_t, MkvBlockRef>>* out,
+               bool keyed, bool keyframe) {
+  int n1;
+  uint64_t tn = mkv_vint(b, start, end, &n1, true);
+  if (!n1 || start + n1 + 3 > end) return;
+  size_t p = start + n1;
+  int16_t rel = (int16_t)((b.u8(p) << 8) | b.u8(p + 1));
+  uint8_t flags = b.u8(p + 2);
+  p += 3;
+  if (keyed) keyframe = (flags & 0x80) != 0;
+  int lacing = (flags >> 1) & 3;
+  int64_t ts = cluster_ts + rel;
+  if (lacing == 0) {
+    out->push_back({tn, {(int64_t)p, (int64_t)(end - p), ts, keyframe}});
+    return;
+  }
+  if (p >= end) return;
+  int nframes = b.u8(p) + 1;
+  p += 1;
+  std::vector<int64_t> sizes;
+  if (lacing == 2) {                       // fixed-size
+    if (nframes && (end - p) % nframes == 0)
+      sizes.assign(nframes, (int64_t)((end - p) / nframes));
+  } else if (lacing == 1) {                // Xiph
+    for (int i = 0; i < nframes - 1; i++) {
+      int64_t sz = 0;
+      while (p < end) {
+        sz += b.u8(p);
+        bool stop = b.u8(p) != 255;
+        p += 1;
+        if (stop) break;
+      }
+      sizes.push_back(sz);
+    }
+    int64_t sum = 0;
+    for (int64_t sz : sizes) sum += sz;
+    sizes.push_back((int64_t)(end - p) - sum);
+  } else {                                 // EBML lacing
+    int n;
+    uint64_t first = mkv_vint(b, p, end, &n, true);
+    if (!n) return;
+    p += n;
+    sizes.push_back((int64_t)first);
+    for (int i = 0; i < nframes - 2; i++) {
+      uint64_t d = mkv_vint(b, p, end, &n, true);
+      if (!n) return;
+      p += n;
+      int64_t delta = (int64_t)d - ((1LL << (7 * n - 1)) - 1);
+      sizes.push_back(sizes.back() + delta);
+    }
+    if (nframes >= 2) {
+      int64_t sum = 0;
+      for (int64_t sz : sizes) sum += sz;
+      sizes.push_back((int64_t)(end - p) - sum);
+    }
+  }
+  for (int64_t sz : sizes) {
+    if (sz < 0 || p + sz > end) return;    // bad lacing: drop block
+    out->push_back({tn, {(int64_t)p, sz, ts, keyframe}});
+    p += (size_t)sz;
+  }
+}
+
+bool parse_mkv(const Buf& b, Demux& dm) {
+  if (!(b.u8(0) == 0x1A && b.u8(1) == 0x45 && b.u8(2) == 0xDF &&
+        b.u8(3) == 0xA3))
+    return false;
+  int64_t timescale = 1000000;             // ns/tick (Matroska default)
+  std::vector<uint64_t> order;             // TrackNumber insertion order
+  std::vector<NTrack> tracks;
+  std::vector<std::pair<uint64_t, MkvBlockRef>> blocks;
+  bool found = false;
+
+  size_t pos = 0;
+  MkvEl el;
+  while (mkv_next(b, &pos, b.n, &el)) {
+    if (el.id != 0x18538067) continue;     // Segment
+    size_t sp = el.payload;
+    MkvEl seg;
+    while (mkv_next(b, &sp, el.end, &seg)) {
+      if (seg.id == 0x1549A966) {          // Info
+        size_t ip = seg.payload;
+        MkvEl ie;
+        while (mkv_next(b, &ip, seg.end, &ie))
+          if (ie.id == 0x2AD7B1) {
+            int64_t v = (int64_t)mkv_uint(b, ie.payload, ie.end);
+            if (v) timescale = v;
+          }
+      } else if (seg.id == 0x1654AE6B) {   // Tracks
+        size_t tp = seg.payload;
+        MkvEl te;
+        while (mkv_next(b, &tp, seg.end, &te)) {
+          if (te.id != 0xAE) continue;     // TrackEntry
+          NTrack t;
+          uint64_t tn = 0, ttype = 0;
+          std::string codec_private, cid;
+          size_t ep = te.payload;
+          MkvEl fe;
+          while (mkv_next(b, &ep, te.end, &fe)) {
+            if (fe.id == 0xD7) tn = mkv_uint(b, fe.payload, fe.end);
+            else if (fe.id == 0x83) ttype = mkv_uint(b, fe.payload, fe.end);
+            else if (fe.id == 0x86) {
+              cid.assign((const char*)b.ptr(fe.payload,
+                                            fe.end - fe.payload),
+                         fe.end - fe.payload);
+              while (!cid.empty() && cid.back() == 0) cid.pop_back();
+            } else if (fe.id == 0x63A2) {
+              codec_private.assign(
+                  (const char*)b.ptr(fe.payload, fe.end - fe.payload),
+                  fe.end - fe.payload);
+            } else if (fe.id == 0xE0) {    // Video
+              size_t vp = fe.payload;
+              MkvEl ve;
+              while (mkv_next(b, &vp, fe.end, &ve)) {
+                if (ve.id == 0xB0)
+                  t.info[4] = (int64_t)mkv_uint(b, ve.payload, ve.end);
+                else if (ve.id == 0xBA)
+                  t.info[5] = (int64_t)mkv_uint(b, ve.payload, ve.end);
+              }
+            } else if (fe.id == 0xE1) {    // Audio
+              size_t ap = fe.payload;
+              MkvEl ae;
+              while (mkv_next(b, &ap, fe.end, &ae)) {
+                if (ae.id == 0x9F)
+                  t.info[6] = (int64_t)mkv_uint(b, ae.payload, ae.end);
+                else if (ae.id == 0xB5) {  // float SamplingFrequency
+                  size_t ln = ae.end - ae.payload;
+                  if (ln == 4) {
+                    uint32_t raw = b.be32(ae.payload);
+                    float f;
+                    std::memcpy(&f, &raw, 4);
+                    t.info[7] = (int64_t)f;
+                  } else if (ln == 8) {
+                    uint64_t raw = b.be64(ae.payload);
+                    double d;
+                    std::memcpy(&d, &raw, 8);
+                    t.info[7] = (int64_t)d;
+                  }
+                } else if (ae.id == 0x6264)
+                  t.info[8] = (int64_t)mkv_uint(b, ae.payload, ae.end);
+              }
+            }
+          }
+          t.info[0] = ttype == 1 ? ST_VIDEO
+                    : ttype == 2 ? ST_AUDIO
+                    : ttype == 17 ? ST_TEXT : ST_UNKNOWN;
+          int64_t codec = mkv_codec_id(cid);
+          t.info[2] = codec;
+          t.info[3] = 3;
+          t.info[9] = (int64_t)tn;
+          t.info[10] = timescale;
+          t.info[12] = 4;
+          if (!codec_private.empty()) {
+            if (codec == CO_H264) mkv_avcc(codec_private, t);
+            else {
+              char lenb[2] = {(char)(codec_private.size() >> 8),
+                              (char)(codec_private.size() & 0xFF)};
+              t.psets.append(lenb, 2);
+              t.psets += codec_private;
+            }
+          }
+          order.push_back(tn);
+          tracks.push_back(std::move(t));
+          found = true;
+        }
+      } else if (seg.id == 0x1F43B675) {   // Cluster
+        int64_t cluster_ts = 0;
+        size_t cp = seg.payload;
+        MkvEl ce;
+        while (mkv_next(b, &cp, seg.end, &ce)) {
+          if (ce.id == 0xE7)
+            cluster_ts = (int64_t)mkv_uint(b, ce.payload, ce.end);
+          else if (ce.id == 0xA3)
+            mkv_block(b, ce.payload, ce.end, cluster_ts, &blocks, true,
+                      false);
+          else if (ce.id == 0xA0) {        // BlockGroup
+            bool has_ref = false;
+            size_t bs = 0, be_ = 0;
+            size_t gp = ce.payload;
+            MkvEl ge;
+            while (mkv_next(b, &gp, ce.end, &ge)) {
+              if (ge.id == 0xA1) { bs = ge.payload; be_ = ge.end; }
+              else if (ge.id == 0xFB) has_ref = true;
+            }
+            if (bs)
+              mkv_block(b, bs, be_, cluster_ts, &blocks, false, !has_ref);
+          }
+        }
+      }
+    }
+  }
+
+  for (size_t i = 0; i < tracks.size(); i++) {
+    NTrack& t = tracks[i];
+    uint64_t tn = order[i];
+    for (auto& [btn, ref] : blocks) {
+      if (btn != tn) continue;
+      int64_t st = t.info[0];
+      t.type.push_back(st == ST_VIDEO
+                           ? (ref.key ? SA_VIDEO_SYNC : SA_VIDEO)
+                           : st == ST_AUDIO ? SA_AUDIO : SA_OTHER);
+      t.off.push_back(ref.off);
+      t.size.push_back(ref.size);
+      t.pts.push_back(ref.ts);             // ticks; wrapper * timescale
+      t.dts.push_back(ref.ts);
+    }
+    t.finalize();
+    dm.tracks.push_back(std::move(t));
+  }
+  return found;
+}
+
+// ===========================================================================
+// MPEG-TS (reference ts.c is an empty stub, ts.c:40-71; contract:
+// containers/ts.py, which exceeds the reference)
+// ===========================================================================
+
+// PES header from an in-memory prefix (length-bounded semantics of
+// containers/pes.py parse_pes_header, which the TS path calls on the
+// first <=32 reassembled bytes)
+PesHdr pes_header_mem(const uint8_t* d, size_t len) {
+  auto u8 = [&](size_t i) -> uint8_t { return i < len ? d[i] : 0; };
+  PesHdr h;
+  uint8_t sid = u8(3);
+  h.packet_length = (u8(4) << 8) | u8(5);
+  size_t p = 6;
+  if (sid == 0xBE || sid == 0xBF || sid < 0xBD) {
+    h.header_size = (int64_t)p;
+    h.payload_size = h.packet_length;
+    return h;
+  }
+  if (p + 3 > len) {
+    h.header_size = (int64_t)p;
+    return h;
+  }
+  auto ts33m = [&](size_t q) -> int64_t {
+    return (((int64_t)(u8(q) >> 1) & 0x07) << 30) |
+           ((int64_t)u8(q + 1) << 22) |
+           (((int64_t)(u8(q + 2) >> 1) & 0x7F) << 15) |
+           ((int64_t)u8(q + 3) << 7) | ((u8(q + 4) >> 1) & 0x7F);
+  };
+  uint8_t flags1 = u8(p);
+  if ((flags1 >> 6) != 0b10) {             // MPEG-1 style
+    size_t q = p;
+    while (q < len && u8(q) == 0xFF) q++;
+    if (q < len && (u8(q) >> 6) == 0b01) q += 2;
+    if (q < len) {
+      uint8_t tag = u8(q) >> 4;
+      if (tag == 0b0010) { h.pts = ts33m(q); q += 5; }
+      else if (tag == 0b0011) { h.pts = ts33m(q); h.dts = ts33m(q + 5); q += 10; }
+      else q += 1;
+    }
+    h.header_size = (int64_t)q;
+    h.payload_size = h.packet_length - (int64_t)(q - 6);
+    return h;
+  }
+  uint8_t flags2 = u8(p + 1);
+  uint8_t hdr_len = u8(p + 2);
+  size_t q = p + 3;
+  int pts_dts = (flags2 >> 6) & 3;
+  if (pts_dts >= 2 && q + 5 <= len) {
+    h.pts = ts33m(q);
+    if (pts_dts == 3 && q + 10 <= len) h.dts = ts33m(q + 5);
+    else h.dts = h.pts;
+  }
+  h.header_size = (int64_t)(p + 3 + hdr_len);
+  h.payload_size = h.packet_length - 3 - hdr_len;
+  return h;
+}
+
+struct TsUnit {
+  std::vector<std::pair<int64_t, int64_t>> frags;
+  int64_t size = 0, pts = -1, dts = -1;
+};
+
+struct TsAcc {
+  std::vector<std::pair<int64_t, int64_t>> frags;
+  std::string hdr;                         // first <=32 bytes
+  bool open = false;
+};
+
+bool parse_ts(const Buf& b, Demux& dm) {
+  constexpr size_t PKT = 188;
+  struct EsInfo { int64_t stype, codec; };
+  // PMT stream_type -> (StreamType, Codec); ts.py _STREAM_TYPES
+  auto stream_type = [](uint8_t st, EsInfo* out) -> bool {
+    switch (st) {
+      case 0x01: *out = {ST_VIDEO, CO_MPEG1}; return true;
+      case 0x02: *out = {ST_VIDEO, CO_MPEG2}; return true;
+      case 0x03: case 0x04: *out = {ST_AUDIO, CO_MPEG_L2}; return true;
+      case 0x0F: case 0x11: *out = {ST_AUDIO, CO_AAC}; return true;
+      case 0x1B: *out = {ST_VIDEO, CO_H264}; return true;
+      case 0x24: *out = {ST_VIDEO, CO_H265}; return true;
+      case 0x81: *out = {ST_AUDIO, CO_AC3}; return true;
+      case 0x87: *out = {ST_AUDIO, 38 /*EAC3*/}; return true;
+      case 0x8A: *out = {ST_AUDIO, CO_DTS}; return true;
+    }
+    return false;
+  };
+
+  std::vector<int> pmt_pids;
+  std::vector<std::pair<int, EsInfo>> es;        // insertion-ordered
+  std::vector<std::pair<int, TsAcc>> acc;
+  std::vector<std::pair<int, std::vector<TsUnit>>> samples;
+  auto es_find = [&](int pid) -> EsInfo* {
+    for (auto& [p_, e_] : es)
+      if (p_ == pid) return &e_;
+    return nullptr;
+  };
+  auto acc_of = [&](int pid) -> TsAcc* {
+    for (auto& [p_, a_] : acc)
+      if (p_ == pid) return &a_;
+    return nullptr;
+  };
+  auto close_pes = [&](int pid) {
+    TsAcc* a = acc_of(pid);
+    if (!a || !a->open || a->frags.empty()) return;
+    TsUnit u;
+    u.frags = a->frags;
+    if (a->hdr.size() >= 9 && a->hdr[0] == 0 && a->hdr[1] == 0 &&
+        a->hdr[2] == 1) {
+      PesHdr h = pes_header_mem((const uint8_t*)a->hdr.data(),
+                                a->hdr.size());
+      u.pts = h.pts;
+      u.dts = h.dts;
+      int64_t skip = h.header_size;
+      std::vector<std::pair<int64_t, int64_t>> frags;
+      for (auto& [off, sz] : u.frags) {
+        if (skip >= sz) { skip -= sz; continue; }
+        frags.push_back({off + skip, sz - skip});
+        skip = 0;
+      }
+      u.frags = std::move(frags);
+    }
+    for (auto& [off, sz] : u.frags) u.size += sz;
+    if (u.size > 0) {
+      for (auto& [p_, v_] : samples)
+        if (p_ == pid) { v_.push_back(std::move(u)); goto done; }
+      samples.push_back({pid, {std::move(u)}});
+    }
+  done:
+    a->open = false;
+    a->frags.clear();
+    a->hdr.clear();
+  };
+
+  size_t pos = 0;
+  while (pos + PKT <= b.n) {
+    if (b.u8(pos) != 0x47) {
+      size_t nxt = b.find_byte(0x47, pos + 1);
+      if (nxt == std::string::npos) break;
+      pos = nxt;
+      continue;
+    }
+    uint8_t b1 = b.u8(pos + 1), b2 = b.u8(pos + 2), b3 = b.u8(pos + 3);
+    bool pusi = (b1 & 0x40) != 0;
+    int pid = ((b1 & 0x1F) << 8) | b2;
+    int afc = (b3 >> 4) & 3;
+    size_t p = pos + 4;
+    if (afc == 2 || afc == 3) p += 1 + b.u8(p);
+    if ((afc == 1 || afc == 3) && p < pos + PKT) {
+      size_t end = pos + PKT;
+      if (pid == 0) {                      // PAT
+        size_t q = p + 1 + b.u8(p);
+        int sect_len = ((b.u8(q + 1) & 0x0F) << 8) | b.u8(q + 2);
+        size_t stop = std::min(q + 3 + sect_len - 4, end);
+        q += 8;
+        while (q + 4 <= stop) {
+          int prog = (b.u8(q) << 8) | b.u8(q + 1);
+          int mpid = ((b.u8(q + 2) & 0x1F) << 8) | b.u8(q + 3);
+          if (prog != 0 &&
+              std::find(pmt_pids.begin(), pmt_pids.end(), mpid) ==
+                  pmt_pids.end())
+            pmt_pids.push_back(mpid);
+          q += 4;
+        }
+      } else if (std::find(pmt_pids.begin(), pmt_pids.end(), pid) !=
+                 pmt_pids.end()) {         // PMT
+        size_t q = p + 1 + b.u8(p);
+        int sect_len = ((b.u8(q + 1) & 0x0F) << 8) | b.u8(q + 2);
+        size_t stop = std::min(q + 3 + sect_len - 4, end);
+        int pcr_skip = ((b.u8(q + 10) & 0x0F) << 8) | b.u8(q + 11);
+        q += 12 + pcr_skip;
+        while (q + 5 <= stop) {
+          uint8_t st = b.u8(q);
+          int epid = ((b.u8(q + 1) & 0x1F) << 8) | b.u8(q + 2);
+          int es_len = ((b.u8(q + 3) & 0x0F) << 8) | b.u8(q + 4);
+          q += 5 + es_len;
+          EsInfo info;
+          if (stream_type(st, &info) && !es_find(epid)) {
+            es.push_back({epid, info});
+            acc.push_back({epid, TsAcc{}});
+          }
+        }
+      } else if (es_find(pid)) {
+        TsAcc* a = acc_of(pid);
+        if (pusi) {
+          close_pes(pid);
+          a->open = true;
+        }
+        if (a->open) {
+          a->frags.push_back({(int64_t)p, (int64_t)(end - p)});
+          if (a->hdr.size() < 32) {
+            size_t want = std::min(end - p, 32 - a->hdr.size());
+            a->hdr.append((const char*)b.ptr(p, want), want);
+          }
+        }
+      }
+    }
+    pos += PKT;
+  }
+  for (auto& [pid, a] : acc) {
+    (void)a;
+    close_pes(pid);
+  }
+
+  bool ok = false;
+  for (auto& [pid, info] : es) {
+    std::vector<TsUnit>* units = nullptr;
+    for (auto& [p_, v_] : samples)
+      if (p_ == pid) units = &v_;
+    if (!units || units->empty()) continue;
+    NTrack t;
+    for (TsUnit& u : *units) {
+      int32_t kind;
+      if (info.stype == ST_VIDEO && info.codec == CO_H264) {
+        // head = first two fragments, concatenated (boundary-safe),
+        // searched for IDR/SPS start codes (ts.py kinds loop)
+        std::string head;
+        for (size_t fi = 0; fi < u.frags.size() && fi < 2; fi++) {
+          auto [off, sz] = u.frags[fi];
+          head.append((const char*)b.ptr((size_t)off, (size_t)sz),
+                      (size_t)sz);
+        }
+        kind = (head.find("\x00\x00\x01\x65", 0, 4) != std::string::npos ||
+                head.find("\x00\x00\x01\x67", 0, 4) != std::string::npos)
+                   ? SA_VIDEO_SYNC : SA_VIDEO;
+      } else if (info.stype == ST_VIDEO) {
+        kind = SA_VIDEO;
+      } else {
+        kind = SA_AUDIO;
+      }
+      t.type.push_back(kind);
+      t.off.push_back(u.frags[0].first);
+      t.size.push_back(u.size);
+      t.pts.push_back(u.pts);              // 90 kHz; wrapper -> ns
+      t.dts.push_back(u.dts);
+      t.frag_cnt.push_back((int32_t)u.frags.size());
+      for (auto& [off, sz] : u.frags) {
+        t.frag_off.push_back(off);
+        t.frag_size.push_back(sz);
+      }
+    }
+    t.info[0] = info.stype;
+    t.info[2] = info.codec;
+    t.info[3] = 3;
+    t.info[9] = pid;
+    t.finalize();
+    dm.tracks.push_back(std::move(t));
+    ok = true;
+  }
+  return ok;
+}
+
 }  // namespace
 
 // ===========================================================================
@@ -1111,6 +1730,8 @@ void* mv_demux_parse(const char* path, int32_t container) {
     case C_MPEG_PS: ok = parse_ps(b, *dm); break;
     case C_ES: ok = parse_es(b, *dm); break;
     case C_ES_MP3: ok = parse_mp3(b, *dm); break;
+    case C_MKV: ok = parse_mkv(b, *dm); break;
+    case C_MPEG_TS: ok = parse_ts(b, *dm); break;
     default: ok = false;
   }
   if (!ok) {
@@ -1154,6 +1775,22 @@ int64_t mv_demux_track_psets(void* h, int32_t t, uint8_t* buf,
   if ((int64_t)p.size() > cap) return -1;
   std::memcpy(buf, p.data(), p.size());
   return (int64_t)p.size();
+}
+
+// fragment tables (TS): flattened (off,size) runs + per-sample counts;
+// capacities from info[19] (total frags) and info[13] (sample count)
+int32_t mv_demux_track_frags(void* h, int32_t t, int64_t* off,
+                             int64_t* size, int32_t* cnt) {
+  auto dm = static_cast<Demux*>(h);
+  if (!dm || t < 0 || (size_t)t >= dm->tracks.size()) return -1;
+  const NTrack& tr = dm->tracks[t];
+  std::memcpy(off, tr.frag_off.data(),
+              tr.frag_off.size() * sizeof(int64_t));
+  std::memcpy(size, tr.frag_size.data(),
+              tr.frag_size.size() * sizeof(int64_t));
+  std::memcpy(cnt, tr.frag_cnt.data(),
+              tr.frag_cnt.size() * sizeof(int32_t));
+  return 0;
 }
 
 void mv_demux_close(void* h) {

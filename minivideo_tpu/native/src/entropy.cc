@@ -10,6 +10,7 @@
 // The C ABI writes directly into caller-provided numpy buffers laid out
 // exactly like FrameSyntax (see bindings in minivideo_tpu/native/__init__.py).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -632,7 +633,12 @@ static const CabacTabs& cabac_tabs() {
   return T;
 }
 
+// process-wide CABAC bin counter (observability: bench reports measured
+// bins/frame; one register increment per bin, accumulated per slice)
+std::atomic<uint64_t> g_cabac_bins{0};
+
 struct CabacEngine {
+  uint64_t bins = 0;                   // bins decoded by THIS engine
   // Buffered-low arithmetic decoder (same results as spec 9.3.3.2):
   // `low` holds the engine offset in its top bits with S pending
   // not-yet-consumed stream bits below it, so renormalization is just
@@ -683,6 +689,7 @@ struct CabacEngine {
     low = 0;
   }
   inline int decision(int i) {
+    bins++;
     uint32_t s = ctx[i];
     uint64_t e = t->packed[s];                 // one load: lps x4 + nexts
     uint32_t r_lps = (uint32_t)(e >> (((range >> 6) & 3) * 8)) & 0xFF;
@@ -701,6 +708,7 @@ struct CabacEngine {
     return (int)((s & 1) ^ (uint32_t)is_lps);
   }
   inline int bypass() {
+    bins++;
     // refill BEFORE consuming: after `S -= 1` the invariant is only
     // low < 2*range << S, and `low << 32` would overflow at S = 23
     refill();
@@ -710,6 +718,7 @@ struct CabacEngine {
     return 0;
   }
   int terminate() {
+    bins++;
     range -= 2;
     if (low >= (uint64_t)range << S) return 1;
     int k = 9 - (32 - __builtin_clz(range));
@@ -1473,6 +1482,7 @@ static int64_t parse_slice_impl(
       mb++;
       if (d.cab.e.terminate()) break;
     }
+    g_cabac_bins.fetch_add(d.cab.e.bins, std::memory_order_relaxed);
   } else {
     // locate the rbsp stop bit (backward scan, as in bitio.py)
     int64_t stop = -1;
@@ -1541,6 +1551,11 @@ int64_t mv_parse_slice_slab2(
                           first_mb, slice_qp, entropy_cabac,
                           transform8x8_mode, bufs, 1, maxw,
                           1, batch, bidx, cb_qp_off, cr_qp_off);
+}
+
+// total CABAC bins decoded by this process (all threads, all slices)
+uint64_t mv_cabac_bins_total(void) {
+  return g_cabac_bins.load(std::memory_order_relaxed);
 }
 
 }  // extern "C"

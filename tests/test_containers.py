@@ -253,3 +253,65 @@ def test_probe_misnamed_extension(annexb, tmp_path):
     m = _open(tmp_path, "actually_mp4.wav", C.write_mp4(annexb, 64, 48))
     assert m.container == Container.MP4
     mv_close(m)
+
+
+def test_filewindow_matches_bytes():
+    """FileWindow presents the bytes-API subset the streaming demuxers
+    use; fuzz it against real bytes with a tiny window so every access
+    pattern crosses window boundaries."""
+    import io
+
+    from minivideo_tpu.bufio import FileWindow
+    rng = np.random.default_rng(7)
+    blob = bytes(rng.integers(0, 8, 200_000, dtype=np.uint8))
+    fw = FileWindow(io.BytesIO(blob), len(blob), window=1 << 14)
+    assert len(fw) == len(blob)
+    idxs = rng.integers(0, len(blob), 200)
+    for i in idxs:
+        assert fw[int(i)] == blob[int(i)]
+    for a, ln in zip(rng.integers(0, len(blob), 100),
+                     rng.integers(0, 40_000, 100)):
+        a, b = int(a), int(a + ln)
+        assert fw[a:b] == blob[a:b]
+    assert fw[-4:] == blob[-4:]
+    for needle in (b"\x00\x00\x01", b"\x47", b"\x07\x07\x07\x07"):
+        start = 0
+        for _ in range(50):
+            got = fw.find(needle, start)
+            assert got == blob.find(needle, start)
+            if got == -1:
+                break
+            start = got + 1
+    assert fw.find(b"\x47", 199_990) == blob.find(b"\x47", 199_990)
+
+
+def test_streaming_demux_bounded_memory(tmp_path):
+    """A ~1 GB sparse TS file demuxes in a subprocess whose peak RSS
+    stays far below the file size — the demuxer streams through a
+    bounded window (reference bitstream.c:51) instead of slurping
+    (round-3 behavior: containers/ts.py:57 read the whole file)."""
+    import subprocess
+    import sys
+
+    ts = C.write_ts(make_stream(width_mbs=4, height_mbs=3, n_pictures=2,
+                                seed=3, allow_pcm=False))
+    big = tmp_path / "big.ts"
+    with open(big, "wb") as f:
+        f.write(ts)
+        f.seek((1 << 30) - 1)       # sparse hole to ~1 GiB
+        f.write(b"\x00")
+    code = (
+        "import resource, sys\n"
+        "from minivideo_tpu.api import mv_open, mv_parse, mv_close\n"
+        "m = mv_open(sys.argv[1])\n"
+        "assert mv_parse(m), 'parse failed'\n"
+        "assert m.tracks_video and m.tracks_video[0].sample_count > 0\n"
+        "mv_close(m)\n"
+        "rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss/1024\n"
+        "assert rss_mb < 300, f'demux peaked at {rss_mb:.0f} MB RSS'\n"
+        "print(f'ok rss={rss_mb:.0f}MB')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code, str(big)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert r.stdout.startswith("ok")

@@ -8,7 +8,9 @@
  * encoder's reconstruction must not either for bit-exact comparison).
  *
  * Usage: x264_fixture <out.264> <w> <h> <frames> <qp> <cabac 0|1>
- *        <dct8 0|1> <seed> [slices]
+ *        <dct8 0|1> <seed> [slices] [noise_mask]
+ * noise_mask (default 31) scales the per-pixel noise; lower values give
+ * natural-content-like bitrates (31 -> worst-case dense residuals).
  * slices > 1 splits every picture into that many slices (x264
  * slices=N), the axis the host entropy stage parallelizes within a
  * frame (slices are entropy-independent, h264_slice.c:1013-1139).
@@ -39,6 +41,7 @@ int main(int argc, char** argv) {
   int qp = atoi(argv[5]), cabac = atoi(argv[6]), dct8 = atoi(argv[7]);
   lcg = (uint32_t)atoi(argv[8]) * 2654435761u + 1u;
   int slices = argc > 9 ? atoi(argv[9]) : 1;
+  int noise = argc > 10 ? atoi(argv[10]) : 31;
 
   const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
   if (!codec) { fprintf(stderr, "libx264 unavailable\n"); return 3; }
@@ -78,13 +81,15 @@ int main(int argc, char** argv) {
     for (int y = 0; y < h; y++)
       for (int x = 0; x < w; x++)
         frame->data[0][y * frame->linesize[0] + x] =
-            (uint8_t)((x * 3 + y * 2 + i * 17 + (rnd8() & 31)) & 0xFF);
+            (uint8_t)((x * 3 + y * 2 + i * 17 + (rnd8() & noise)) & 0xFF);
     for (int y = 0; y < h / 2; y++)
       for (int x = 0; x < w / 2; x++) {
         frame->data[1][y * frame->linesize[1] + x] =
-            (uint8_t)(128 + ((x - y + i) & 63) - 32 + (rnd8() & 15));
+            (uint8_t)(128 + ((x - y + i) & 63) - 32
+                      + (rnd8() & (noise / 2)));
         frame->data[2][y * frame->linesize[2] + x] =
-            (uint8_t)(128 + ((x + y * 2 - i) & 63) - 32 + (rnd8() & 15));
+            (uint8_t)(128 + ((x + y * 2 - i) & 63) - 32
+                      + (rnd8() & (noise / 2)));
       }
     frame->pts = i;
     if (avcodec_send_frame(c, frame) < 0) return 4;
