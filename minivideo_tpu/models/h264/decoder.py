@@ -144,7 +144,8 @@ class H264Decoder:
             parser = CavlcSliceParser(r, sh, sps, pps, fs)
         return parser.parse_slice_data()
 
-    def parse_groups_slab(self, groups, sps, pps, staging_mode=None):
+    def parse_groups_slab(self, groups, sps, pps, staging_mode=None,
+                          pool=None):
         """Entropy-parse many pictures straight into slab staging (the
         production fused-engine feed; native parser only).  groups:
         list of NALU lists, all sharing sps/pps.
@@ -158,12 +159,17 @@ class H264Decoder:
             transpose; host writes are ~40% slower (strided).  Best
             when host cores are plentiful (production hosts) — device
             stage measured 2.8x faster (PERF.md round 3).
+
+        `pool` (optional ThreadPoolExecutor): every (picture, slice)
+        task fans out individually — slices are entropy-independent
+        (h264_slice.c:1013-1139) and the native parse releases the GIL,
+        so per-frame host latency drops ~min(slices, cores)x on
+        multi-slice streams and pictures parse concurrently either way.
         """
         from ...settings import staging_mode as _staging_mode
         mode = staging_mode or _staging_mode()
         wmb = sps.pic_width_in_mbs
         hmb = sps.pic_height_in_map_units
-        frames = []
         if mode == "device":
             from ...native import parse_slice_native_slab2
             from ...ops.recon import (make_slab_staging2,
@@ -173,6 +179,24 @@ class H264Decoder:
             from ...native import parse_slice_native_slab
             from ...ops.recon import make_slab_staging, pack_frames_slots
             staging = make_slab_staging(wmb, hmb, len(groups))
+
+        def parse_one(i, fs, sh, nalu):
+            if mode == "device":
+                return parse_slice_native_slab2(
+                    fs, staging, i, nalu.rbsp, sh.data_bit_offset,
+                    sh.first_mb_in_slice, sh.qp,
+                    bool(pps.entropy_coding_mode_flag),
+                    bool(pps.transform_8x8_mode_flag),
+                    cb_qp_off=pps.chroma_qp_index_offset,
+                    cr_qp_off=pps.second_chroma_qp_index_offset)
+            return parse_slice_native_slab(
+                fs, staging, i, nalu.rbsp, sh.data_bit_offset,
+                sh.first_mb_in_slice, sh.qp,
+                bool(pps.entropy_coding_mode_flag),
+                bool(pps.transform_8x8_mode_flag))
+
+        frames = []
+        tasks = []                # (future|n, slice_of_mb, snum, first_mb)
         for i, nalus in enumerate(groups):
             fs = FrameSyntax(wmb, hmb, lite=True)
             slice_of_mb = np.full(fs.n_mbs, -1, dtype=np.int32)
@@ -180,23 +204,18 @@ class H264Decoder:
                 sh, _, _ = parse_slice_header(
                     nalu.rbsp, nalu.nal_unit_type, nalu.nal_ref_idc,
                     self.sps_map, self.pps_map)
-                if mode == "device":
-                    n = parse_slice_native_slab2(
-                        fs, staging, i, nalu.rbsp, sh.data_bit_offset,
-                        sh.first_mb_in_slice, sh.qp,
-                        bool(pps.entropy_coding_mode_flag),
-                        bool(pps.transform_8x8_mode_flag),
-                        cb_qp_off=pps.chroma_qp_index_offset,
-                        cr_qp_off=pps.second_chroma_qp_index_offset)
+                if pool is not None:
+                    tasks.append((pool.submit(parse_one, i, fs, sh, nalu),
+                                  slice_of_mb, snum,
+                                  sh.first_mb_in_slice))
                 else:
-                    n = parse_slice_native_slab(
-                        fs, staging, i, nalu.rbsp, sh.data_bit_offset,
-                        sh.first_mb_in_slice, sh.qp,
-                        bool(pps.entropy_coding_mode_flag),
-                        bool(pps.transform_8x8_mode_flag))
-                slice_of_mb[sh.first_mb_in_slice:
-                            sh.first_mb_in_slice + n] = snum
+                    n = parse_one(i, fs, sh, nalu)
+                    slice_of_mb[sh.first_mb_in_slice:
+                                sh.first_mb_in_slice + n] = snum
             frames.append((fs, slice_of_mb))
+        for fut, slice_of_mb, snum, first_mb in tasks:
+            n = fut.result()
+            slice_of_mb[first_mb:first_mb + n] = snum
         if mode == "device":
             return pack_frames_slots2(staging, sps, pps), frames
         return pack_frames_slots(staging, frames, sps, pps), frames
@@ -311,12 +330,19 @@ def _decode_batched(dec, group_iter, max_pictures, errors):
             total += len(groups)
 
     pictures = []
+    pool = None
+    if use_slab and (_os.cpu_count() or 1) > 1:
+        # (picture, slice) tasks fan across cores; the native parse
+        # releases the GIL (see parse_groups_slab docstring)
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=_os.cpu_count())
     for sps, pps, groups in parts:
         packed = None
         parsed = None
         if use_slab:
             try:
-                packed, frames = dec.parse_groups_slab(groups, sps, pps)
+                packed, frames = dec.parse_groups_slab(groups, sps, pps,
+                                                       pool=pool)
                 parsed = [(fs, sps, pps, som) for fs, som in frames]
             except (RuntimeError, ValueError, BitstreamError) as e:
                 trace.warning("H264", "slab parse failed (%s); "
@@ -338,6 +364,8 @@ def _decode_batched(dec, group_iter, max_pictures, errors):
             if not parsed:
                 continue
         pictures.extend(dec.reconstruct_batch(parsed, packed=packed))
+    if pool is not None:
+        pool.shutdown()
     return pictures
 
 

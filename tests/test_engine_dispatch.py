@@ -54,3 +54,20 @@ def test_mv_decode_fused(tmp_path):
             np.testing.assert_array_equal(a.cr, b.cr)
     finally:
         mv_close(media)
+
+
+def test_decode_fused_multislice_slice_pool():
+    """Multi-slice pictures through the production slab path with the
+    (picture, slice) thread-pool fan-out (_decode_batched passes a pool
+    to parse_groups_slab; slices are entropy-independent,
+    h264_slice.c:1013-1139)."""
+    data = make_stream(width_mbs=6, height_mbs=5, n_pictures=3, seed=21,
+                       n_slices=3, mb_kinds=("i16", "i4"), density=0.4,
+                       allow_pcm=False)
+    ref = decode_annexb(data)
+    got = decode_annexb(data, engine="fused")
+    assert len(got) == len(ref) == 3
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a.y, b.y)
+        np.testing.assert_array_equal(a.cb, b.cb)
+        np.testing.assert_array_equal(a.cr, b.cr)
