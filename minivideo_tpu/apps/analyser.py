@@ -76,6 +76,14 @@ def analyse(path: str) -> dict:
                              bits_per_sample=int(t.bit_per_sample))
                 if t.sample_per_frames:
                     entry["samples_per_frame"] = int(t.sample_per_frames)
+                # WAVE fmt extension + cue points (wave.c:46-222)
+                fmt = getattr(t, "wave_fmt", None)
+                if fmt and "channel_mask" in fmt:
+                    entry["channel_mask"] = hex(fmt["channel_mask"])
+                cues = getattr(t, "wave_cue_points", None)
+                if cues:
+                    entry["cue_points"] = [c["sample_offset"]
+                                           for c in cues]
             info["tracks"].append(entry)
         return info
     finally:
