@@ -14,6 +14,7 @@ import subprocess
 import numpy as np
 
 from .. import trace
+from ..bitio import BitstreamError
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libminivideo_native.so")
@@ -97,8 +98,9 @@ def parse_slice_native(fs, rbsp: bytes, data_bit_offset: int,
                        transform8x8_mode: bool) -> int:
     """Parse one I slice into the FrameSyntax `fs`.  Returns MB count.
 
-    Raises RuntimeError on parse errors (mirrors the Python parsers'
-    BitstreamError)."""
+    Raises BitstreamError on parse errors (same type as the Python
+    parsers, so the decoder's 64-error tolerance loop treats native
+    and Python failures identically — reference h264.c:181-187)."""
     lib = load()
     assert lib is not None
     assert not getattr(fs, "lite", False), \
@@ -113,7 +115,7 @@ def parse_slice_native(fs, rbsp: bytes, data_bit_offset: int,
         fs.width_mbs, fs.height_mbs, first_mb, slice_qp,
         1 if entropy_cabac else 0, 1 if transform8x8_mode else 0, bufs)
     if n < 0:
-        raise RuntimeError(f"native slice parse failed (code {n})")
+        raise BitstreamError(f"native slice parse failed (code {n})")
     # PCM macroblocks: native stored raw pixels in the coefficient
     # buffers; mirror them into the FrameSyntax dicts for the oracle path
     from ..models.h264.syntax import KIND_IPCM
@@ -161,7 +163,7 @@ def parse_slice_native_slab2(fs, slabs, i: int, rbsp: bytes,
         1 if entropy_cabac else 0, 1 if transform8x8_mode else 0,
         slabs["maxw"], 1, 0, cb_qp_off, cr_qp_off, bufs)
     if n < 0:
-        raise RuntimeError(f"native slab2 slice parse failed (code {n})")
+        raise BitstreamError(f"native slab2 slice parse failed (code {n})")
     return int(n)
 
 
@@ -190,5 +192,5 @@ def parse_slice_native_slab(fs, slabs, i: int, rbsp: bytes,
         1 if entropy_cabac else 0, 1 if transform8x8_mode else 0,
         slabs["maxw"], bufs)
     if n < 0:
-        raise RuntimeError(f"native slab slice parse failed (code {n})")
+        raise BitstreamError(f"native slab slice parse failed (code {n})")
     return int(n)

@@ -134,3 +134,31 @@ def test_qp_delta_chain_wraps():
                          allow_pcm=False)
     pics = decode_annexb(data)
     assert ((pics[0].syntax.qpy >= 0) & (pics[0].syntax.qpy <= 51)).all()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_corrupt_stream_error_tolerance(seed):
+    """Bit-flipped slice payloads must produce tolerated per-NALU errors
+    (reference: up to 64 consecutive errors, h264.c:181-187), never a
+    crash or an unhandled exception — for BOTH the native parser and
+    the Python fallback."""
+    import os
+    data = bytearray(E.make_stream(width_mbs=5, height_mbs=4,
+                                   n_pictures=3, seed=40 + seed,
+                                   mb_kinds=("i16", "i4"), density=0.4,
+                                   allow_pcm=False))
+    rng = np.random.default_rng(seed)
+    # flip bytes in the back half (slice data, past the headers)
+    for pos in rng.integers(len(data) // 2, len(data), 25):
+        data[int(pos)] ^= int(rng.integers(1, 256))
+    for no_native in ("0", "1"):
+        old = os.environ.get("MINIVIDEO_TPU_NO_NATIVE")
+        os.environ["MINIVIDEO_TPU_NO_NATIVE"] = no_native
+        try:
+            pics = decode_annexb(bytes(data))
+            assert isinstance(pics, list)    # some pictures may fail
+        finally:
+            if old is None:
+                os.environ.pop("MINIVIDEO_TPU_NO_NATIVE", None)
+            else:
+                os.environ["MINIVIDEO_TPU_NO_NATIVE"] = old
