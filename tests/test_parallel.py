@@ -138,3 +138,46 @@ def test_mixed_geometry_buckets(tmp_path):
         assert len(raw) == y.size + cb.size + cr.size
         got = np.frombuffer(raw[:y.size], np.uint8).reshape(y.shape)
         np.testing.assert_array_equal(got, y)
+
+
+def test_batch_thumbnail_slab_path(tmp_path):
+    """engine="fused" routes batch_thumbnail through the bucket-wide
+    slab entropy stage (the production feed bench.py measures):
+    outputs bit-exact vs the oracle, entropy failures isolated to the
+    owning clip while the rest of the bucket batch reconstructs."""
+    from minivideo_tpu.models.h264.decoder import decode_annexb
+    clips, streams = [], {}
+    for i in range(3):
+        data = make_stream(width_mbs=5, height_mbs=4, n_pictures=2,
+                           seed=60 + i, mb_kinds=("i16", "i4"),
+                           density=0.4, allow_pcm=False)
+        p = tmp_path / f"c{i}.264"
+        p.write_bytes(data)
+        clips.append(str(p))
+        streams[str(p)] = data
+    # a clip whose slice DATA is corrupt (demuxes + headers parse fine,
+    # entropy decode must fail) -> exercises _parse_bucket_slab's
+    # per-frame isolation, not the demux-stage isolation
+    data = bytearray(make_stream(width_mbs=5, height_mbs=4,
+                                 n_pictures=2, seed=70,
+                                 mb_kinds=("i16", "i4"), density=0.4,
+                                 allow_pcm=False))
+    for pos in range(len(data) * 2 // 3, len(data) - 8, 3):
+        data[pos] ^= 0xFF
+    bad = tmp_path / "bad.264"
+    bad.write_bytes(bytes(data))
+    clips.append(str(bad))
+
+    res = batch_thumbnail(clips, str(tmp_path / "out"),
+                          pictures_per_clip=2,
+                          fmt=PictureFormat.YUV420, engine="fused",
+                          mesh=make_mesh())
+    assert res.done == 3
+    assert res.frames >= 6
+    ref = decode_annexb(streams[clips[0]])
+    got = np.fromfile(tmp_path / "out" / "c0_0.yuv", np.uint8)
+    w, h = ref[0].width, ref[0].height
+    exp = np.concatenate([ref[0].y[:h, :w].ravel(),
+                          ref[0].cb[:h // 2, :w // 2].ravel(),
+                          ref[0].cr[:h // 2, :w // 2].ravel()])
+    np.testing.assert_array_equal(got, exp)
