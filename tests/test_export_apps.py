@@ -197,3 +197,20 @@ def test_analyser_hex_and_fourcc(tmp_path, capsys):
     assert analyser_main(["--fourcc", "0x61766331"]) == 0
     out = capsys.readouterr().out
     assert "avc1" in out and "H264" in out
+
+
+def test_device_yuv420_to_rgb_matches_host():
+    """ops/color.py device conversion is bit-compatible with the host
+    (reference mb_to_rgb) integer BT.601 path, batched."""
+    import numpy as np
+    from minivideo_tpu.export.image import yuv420_to_rgb
+    from minivideo_tpu.ops.color import yuv420_to_rgb_device
+    rng = np.random.default_rng(3)
+    B, H, W = 3, 48, 64
+    y = rng.integers(0, 256, (B, H, W), dtype=np.uint8)
+    cb = rng.integers(0, 256, (B, H // 2, W // 2), dtype=np.uint8)
+    cr = rng.integers(0, 256, (B, H // 2, W // 2), dtype=np.uint8)
+    dev = np.asarray(yuv420_to_rgb_device(y, cb, cr))
+    for i in range(B):
+        np.testing.assert_array_equal(dev[i],
+                                      yuv420_to_rgb(y[i], cb[i], cr[i]))
