@@ -25,13 +25,15 @@ class FileWindow:
     __slots__ = ("_fh", "_size", "_win", "_base", "_buf")
 
     def __init__(self, fh, size: int | None = None,
-                 window: int = DEFAULT_WINDOW):
+                 window: int | None = None):
         self._fh = fh
         if size is None:
             fh.seek(0, 2)
             size = fh.tell()
         self._size = int(size)
-        self._win = max(int(window), 1 << 14)
+        # None -> module default, read at call time so tests can shrink
+        # it to force window slides on small fixtures
+        self._win = max(int(window or DEFAULT_WINDOW), 1 << 12)
         self._base = 0
         self._buf = b""
 

@@ -315,3 +315,29 @@ def test_streaming_demux_bounded_memory(tmp_path):
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-800:]
     assert r.stdout.startswith("ok")
+
+
+def test_streaming_demuxers_tiny_window(annexb, tmp_path, monkeypatch):
+    """Every FileWindow-based demuxer demuxes + decodes correctly with
+    a 4 KiB window, forcing window slides across every structure
+    boundary (the classic windowed-parser failure mode)."""
+    import minivideo_tpu.bufio as bufio
+    monkeypatch.setattr(bufio, "DEFAULT_WINDOW", 4096)
+    ref = decode_annexb(annexb)
+    fixtures = [("w.ts", C.write_ts(annexb)),
+                ("w.mkv", C.write_mkv(annexb, 64, 48)),
+                ("w.mpg", C.write_ps(annexb)),
+                ("w.264", annexb)]
+    for name, blob in fixtures:
+        m = _open(tmp_path, name, blob)
+        assert mv_parse(m), name
+        pics = mv_decode(m, picture_number=3)
+        assert len(pics) == len(ref), name
+        for a, b in zip(pics, ref):
+            np.testing.assert_array_equal(a.y, b.y, err_msg=name)
+        mv_close(m)
+    # MP3: frame table identical to the large-window parse
+    m = _open(tmp_path, "w.mp3", C.write_mp3(n_frames=64))
+    assert mv_parse(m)
+    assert m.tracks_audio[0].sample_count == 64
+    mv_close(m)
