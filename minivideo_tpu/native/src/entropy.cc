@@ -494,10 +494,15 @@ struct CavlcCtx {
   }
 
   // returns TotalCoeff; fills levels[max] in scan order
-  // returns TotalCoeff; fills levels[maxn] in scan order.  levels is
-  // touched ONLY when tc > 0 (callers skip the store for empty blocks;
-  // zero blocks ride the zero-initialized staging).
-  int residual(int nC, int start, int end, int maxn, int* levels) {
+  // returns TotalCoeff; emits the significant coefficients as SPARSE
+  // (scan position, value) pairs — pos ascending, at most TotalCoeff
+  // entries.  Zero positions are never materialized: the stores write
+  // only the significant slots into zero-initialized staging, which
+  // A/B-measured faster than dense 16-wide stores + memset (and unlike
+  // the rejected per-element zero-skip, iterating a known-significant
+  // list has no mispredicted branch).
+  int residual(int nC, int start, int end, int maxn, int* pos_out,
+               int* val_out) {
     BitReader& rd = *r;
     const VlcLuts& L = *this->L;
     int tc = 0, t1 = 0;
@@ -515,7 +520,7 @@ struct CavlcCtx {
     }
     if (tc == 0) return 0;
     if (tc > end - start + 1) { rd.error = true; return -1; }
-    memset(levels, 0, sizeof(int) * maxn);
+    (void)maxn;
 
     int lv[64];
     int suffix_len = (tc > 10 && t1 < 3) ? 1 : 0;
@@ -591,7 +596,8 @@ struct CavlcCtx {
     int coeff_num = -1;
     for (int i = tc - 1; i >= 0; i--) {
       coeff_num += runs[i] + 1;
-      levels[start + coeff_num] = lv[i];
+      pos_out[tc - 1 - i] = start + coeff_num;
+      val_out[tc - 1 - i] = lv[i];
     }
     return tc;
   }
@@ -840,10 +846,13 @@ struct CabacCtx {
   }
 
   // returns cbf; fills levels[maxn] scan order
-  // returns cbf; fills levels[maxn] scan order.  levels is touched
-  // ONLY when cbf != 0 (callers skip the store for empty blocks).
-  int residual(int mb, int cat, int blk, int ic, int maxn, int* levels) {
+  // returns cbf (negative error); emits the significant coefficients
+  // as SPARSE (scan position, value) pairs, pos ascending; *np_out =
+  // pair count (see the CAVLC residual note).
+  int residual(int mb, int cat, int blk, int ic, int maxn, int* pos_out,
+               int* val_out, int* np_out) {
     static const int cat_off_cbf[5] = {0, 4, 8, 12, 16};
+    *np_out = 0;
     static const int cat_off_sig[5] = {0, 15, 29, 44, 47};
     static const int cat_off_abs[5] = {0, 10, 20, 30, 39};
     // ctxIdxInc per scan position, hoisted out of the bin loop (the
@@ -861,7 +870,6 @@ struct CabacCtx {
       cbf = e.decision(85 + cat_off_cbf[cat] + inc);
       if (!cbf) return 0;
     }
-    memset(levels, 0, sizeof(int) * maxn);
     int sig_base, last_base, abs_base;
     const uint8_t *sig_tab, *last_tab;
     if (cat == 5) {
@@ -876,7 +884,7 @@ struct CabacCtx {
     }
     // significance scan records positions directly (no sig[] bitmap /
     // memset, and the level loop only visits significant positions)
-    int pos[64];
+    int* pos = pos_out;
     int np = 0;
     bool last_fired = false;
     for (int i = 0; i < maxn - 1; i++) {
@@ -908,8 +916,10 @@ struct CabacCtx {
       }
       if (level == 1) num_eq1++; else num_gt1++;
       if (e.bypass()) level = -level;
-      levels[idx] = (int)level;
+      (void)idx;
+      val_out[pi] = (int)level;
     }
+    *np_out = np;
     return 1;
   }
 };
@@ -967,71 +977,76 @@ struct SliceDec {
 
   // coefficient stores: scan-ordered levels -> raster buffers (classic
   // mode) or slab records (slab mode; ops/slab.py layouts)
-  // Coefficient stores are UNCONDITIONAL: a zero-skip branch per
-  // element was measured 30% slower at density 0.25 (mispredicted
-  // branch beats the saved store; the records are cache-line-local so
-  // skipping does not avoid the dirty line).  PERF.md round 4.
-  void store_luma_dc(int mb, const int* lv) {
+  // Coefficient stores are SPARSE: residual() emits (scan position,
+  // value) pairs for the significant coefficients only, and these
+  // write exactly those slots into the zero-initialized staging.
+  // (A dense 16-wide store + memset per block was the round-3 form; a
+  // per-element zero-skip branch was measured 30% slower — iterating
+  // the significant list has neither the branch nor the zero writes.)
+  void store_luma_dc(int mb, const int* pos, const int* val, int n) {
     if (slab_mode) {
       int16_t* out = f.dc_slab + slab_base(mb, 32);
       const int64_t e = es();
-      for (int k = 0; k < 16; k++)
-        out[kZigzag4[k] * e] = (int16_t)lv[k];
+      for (int j = 0; j < n; j++)
+        out[kZigzag4[pos[j]] * e] = (int16_t)val[j];
     } else {
       int32_t* out = f.luma_dc + mb * 16;
-      for (int k = 0; k < 16; k++)
-        out[kZigzag4[k]] = lv[k];
+      for (int j = 0; j < n; j++) out[kZigzag4[pos[j]]] = val[j];
     }
   }
-  void store_luma4(int mb, int blk, const int* full) {
+  // shift = 1 for I16x16 AC blocks (scan position k -> block pos k+1)
+  void store_luma4(int mb, int blk, const int* pos, const int* val,
+                   int n, int shift) {
     if (slab_mode) {
       int16_t* out = f.luma_slab + slab_base(mb, 256);
       const int* t = ST->l4[blk];
       const int64_t e = es();
-      for (int k = 0; k < 16; k++)
-        out[t[k] * e] = (int16_t)full[k];
+      for (int j = 0; j < n; j++)
+        out[t[pos[j] + shift] * e] = (int16_t)val[j];
     } else {
       int32_t* out = f.luma_ac + (mb * 16 + blk) * 16;
-      for (int k = 0; k < 16; k++)
-        out[kZigzag4[k]] = full[k];
+      for (int j = 0; j < n; j++)
+        out[kZigzag4[pos[j] + shift]] = val[j];
     }
   }
-  void store_luma8(int mb, int b8, const int* lv64) {
+  // 8x8 blocks: pos[] are 64-coefficient scan positions
+  void store_luma8_scan(int mb, int b8, const int* pos, const int* val,
+                        int n) {
     if (slab_mode) {
       int16_t* out = f.luma_slab + slab_base(mb, 256);
       const int* t = ST->l8[b8];
       const int64_t e = es();
-      for (int k = 0; k < 64; k++)
-        out[t[k] * e] = (int16_t)lv64[k];
+      for (int j = 0; j < n; j++)
+        out[t[pos[j]] * e] = (int16_t)val[j];
     } else {
       int32_t* out = f.luma8x8_coeff + (mb * 4 + b8) * 64;
-      for (int k = 0; k < 64; k++)
-        out[kZigzag8[k]] = lv64[k];
+      for (int j = 0; j < n; j++) out[kZigzag8[pos[j]]] = val[j];
     }
   }
-  void store_chroma_dc(int mb, int ic, const int* lv) {
+  void store_chroma_dc(int mb, int ic, const int* pos, const int* val,
+                       int n) {
     if (slab_mode) {
       const int64_t e = es();
       int16_t* out = f.dc_slab + slab_base(mb, 32) + (16 + ic * 4) * e;
-      for (int k = 0; k < 4; k++)
-        out[k * e] = (int16_t)lv[k];
+      for (int j = 0; j < n; j++) out[pos[j] * e] = (int16_t)val[j];
     } else {
       int32_t* out = f.chroma_dc + (mb * 2 + ic) * 4;
-      for (int k = 0; k < 4; k++)
-        out[k] = lv[k];
+      for (int j = 0; j < n; j++) out[pos[j]] = val[j];
     }
   }
-  void store_chroma4(int mb, int ic, int blk, const int* full) {
+  // chroma AC: always the k -> k+1 scan shift (no DC in the block)
+  void store_chroma4(int mb, int ic, int blk, const int* pos,
+                     const int* val, int n) {
     if (slab_mode) {
       int16_t* out = f.chroma_slab + slab_base(mb, 128);
       const int* t = ST->c4[ic * 4 + blk];
       const int64_t e = es();
-      for (int k = 0; k < 16; k++)
-        out[t[k] * e] = (int16_t)full[k];
+      for (int j = 0; j < n; j++)
+        out[t[pos[j] + 1] * e] = (int16_t)val[j];
     } else {
       int32_t* out = f.chroma_ac + ((mb * 2 + ic) * 4 + blk) * 16;
-      for (int k = 0; k < 16; k++)
-        out[kZigzag4[k]] = full[k];
+      for (int j = 0; j < n; j++)
+        out[kZigzag4[pos[j] + 1]] = val[j];
     }
   }
 
@@ -1170,75 +1185,61 @@ int SliceDec::parse_mb_cavlc(int mb) {
   }
   f.qpy[mb] = qp_prev;
 
-  int lv[64];
+  int cpos[64], cval[64];
   int transform8 = f.transform8x8[mb];
   if (is_i16) {
     int nc = cav.nc_luma(mb, 0);
-    int tc = cav.residual(nc, 0, 15, 16, lv);
+    int tc = cav.residual(nc, 0, 15, 16, cpos, cval);
     if (tc < 0) return -1;
-    if (tc > 0) store_luma_dc(mb, lv);
+    if (tc > 0) store_luma_dc(mb, cpos, cval, tc);
   }
   for (int b8 = 0; b8 < 4; b8++) {
     int coded = (cbp_l >> b8) & 1;
+    if (!coded) continue;
     if (transform8) {
-      int lv64[64] = {0};
-      int any = 0;
       for (int i4 = 0; i4 < 4; i4++) {
         int blk = b8 * 4 + i4;
-        if (!coded) continue;
         int nc = cav.nc_luma(mb, blk);
-        int tc = cav.residual(nc, 0, 15, 16, lv);
+        int tc = cav.residual(nc, 0, 15, 16, cpos, cval);
         if (tc < 0) return -1;
         f.total_coeff_luma[mb * 16 + blk] = (int16_t)tc;
-        if (tc > 0) {
-          any = 1;
-          for (int k = 0; k < 16; k++) lv64[4 * k + i4] = lv[k];
-        }
+        // sub-block scan k -> 8x8 scan position 4k + i4
+        for (int j = 0; j < tc; j++) cpos[j] = 4 * cpos[j] + i4;
+        store_luma8_scan(mb, b8, cpos, cval, tc);
       }
-      if (any) store_luma8(mb, b8, lv64);
     } else {
       for (int i4 = 0; i4 < 4; i4++) {
         int blk = b8 * 4 + i4;
-        if (!coded) continue;
         int nc = cav.nc_luma(mb, blk);
         int tc;
-        int full[16];
         if (is_i16) {
-          tc = cav.residual(nc, 0, 14, 15, lv);
+          tc = cav.residual(nc, 0, 14, 15, cpos, cval);
           if (tc < 0) return -1;
-          if (tc > 0) {
-            full[0] = 0;
-            for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
-          }
+          if (tc > 0) store_luma4(mb, blk, cpos, cval, tc, 1);
         } else {
-          tc = cav.residual(nc, 0, 15, 16, full);
+          tc = cav.residual(nc, 0, 15, 16, cpos, cval);
           if (tc < 0) return -1;
+          if (tc > 0) store_luma4(mb, blk, cpos, cval, tc, 0);
         }
         f.total_coeff_luma[mb * 16 + blk] = (int16_t)tc;
-        if (tc > 0) store_luma4(mb, blk, full);
       }
     }
   }
   if (cbp_c) {
     for (int ic = 0; ic < 2; ic++) {
-      int tc = cav.residual(-1, 0, 3, 4, lv);
+      int tc = cav.residual(-1, 0, 3, 4, cpos, cval);
       if (tc < 0) return -1;
-      if (tc > 0) store_chroma_dc(mb, ic, lv);
+      if (tc > 0) store_chroma_dc(mb, ic, cpos, cval, tc);
     }
   }
   if (cbp_c & 2) {
     for (int ic = 0; ic < 2; ic++) {
       for (int blk = 0; blk < 4; blk++) {
         int nc = cav.nc_chroma(mb, ic, blk);
-        int tc = cav.residual(nc, 0, 14, 15, lv);
+        int tc = cav.residual(nc, 0, 14, 15, cpos, cval);
         if (tc < 0) return -1;
         f.total_coeff_chroma[(mb * 2 + ic) * 4 + blk] = (int16_t)tc;
-        if (tc > 0) {
-          int full[16];
-          full[0] = 0;
-          for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
-          store_chroma4(mb, ic, blk, full);
-        }
+        if (tc > 0) store_chroma4(mb, ic, blk, cpos, cval, tc);
       }
     }
   }
@@ -1337,61 +1338,54 @@ int SliceDec::parse_mb_cabac(int mb) {
   }
   f.qpy[mb] = qp_prev;
 
-  int lv[64];
+  int cpos[64], cval[64], np;
   int transform8 = f.transform8x8[mb];
   if (is_i16) {
-    int cbf = cab.residual(mb, 0, 0, 0, 16, lv);
+    int cbf = cab.residual(mb, 0, 0, 0, 16, cpos, cval, &np);
     if (r.error) return -1;
     f.cbf_luma_dc[mb] = (int8_t)cbf;
-    if (cbf) store_luma_dc(mb, lv);
+    if (cbf) store_luma_dc(mb, cpos, cval, np);
   }
   for (int b8 = 0; b8 < 4; b8++) {
     int coded = (cbp_l >> b8) & 1;
     if (!coded) continue;
     if (transform8) {
-      if (!cab.residual(mb, 5, b8, 0, 64, lv) && r.error) return -1;
+      if (!cab.residual(mb, 5, b8, 0, 64, cpos, cval, &np) && r.error)
+        return -1;
       f.cbf_luma8x8[mb * 4 + b8] = 1;
-      store_luma8(mb, b8, lv);
+      store_luma8_scan(mb, b8, cpos, cval, np);
     } else {
       for (int i4 = 0; i4 < 4; i4++) {
         int blk = b8 * 4 + i4;
-        int full[16];
         int cbf;
         if (is_i16) {
-          cbf = cab.residual(mb, 1, blk, 0, 15, lv);
-          if (cbf) {
-            full[0] = 0;
-            for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
-          }
+          cbf = cab.residual(mb, 1, blk, 0, 15, cpos, cval, &np);
+          if (r.error) return -1;
+          if (cbf) store_luma4(mb, blk, cpos, cval, np, 1);
         } else {
-          cbf = cab.residual(mb, 2, blk, 0, 16, full);
+          cbf = cab.residual(mb, 2, blk, 0, 16, cpos, cval, &np);
+          if (r.error) return -1;
+          if (cbf) store_luma4(mb, blk, cpos, cval, np, 0);
         }
-        if (r.error) return -1;
         f.cbf_luma[mb * 16 + blk] = (int8_t)cbf;
-        if (cbf) store_luma4(mb, blk, full);
       }
     }
   }
   if (cbp_c) {
     for (int ic = 0; ic < 2; ic++) {
-      int cbf = cab.residual(mb, 3, ic, ic, 4, lv);
+      int cbf = cab.residual(mb, 3, ic, ic, 4, cpos, cval, &np);
       if (r.error) return -1;
       f.cbf_chroma_dc[mb * 2 + ic] = (int8_t)cbf;
-      if (cbf) store_chroma_dc(mb, ic, lv);
+      if (cbf) store_chroma_dc(mb, ic, cpos, cval, np);
     }
   }
   if (cbp_c & 2) {
     for (int ic = 0; ic < 2; ic++) {
       for (int blk = 0; blk < 4; blk++) {
-        int cbf = cab.residual(mb, 4, blk, ic, 15, lv);
+        int cbf = cab.residual(mb, 4, blk, ic, 15, cpos, cval, &np);
         if (r.error) return -1;
         f.cbf_chroma[(mb * 2 + ic) * 4 + blk] = (int8_t)cbf;
-        if (cbf) {
-          int full[16];
-          full[0] = 0;
-          for (int k = 0; k < 15; k++) full[k + 1] = lv[k];
-          store_chroma4(mb, ic, blk, full);
-        }
+        if (cbf) store_chroma4(mb, ic, blk, cpos, cval, np);
       }
     }
   }
