@@ -4,9 +4,12 @@ Reference: minivideo/src/demuxer/wave/wave.c — fmt (incl. cbSize
 extensions for MP1/MP3/EXTENSIBLE, :46-123), fact (:166-190), cue
 (:196-222) and data (:228-253) chunks; builds a single-sample track
 covering the whole data chunk (:254-364) with the codec derived from
-wFormatTag (:266-333).  Divergence from the reference (documented, not
-replicated): the reference's stream_size formula for PCM multiplies
-bits-per-sample by 8 twice (wave.c:273); we compute bytes correctly.
+wFormatTag (:266-333).  Divergences from the reference (documented,
+not replicated): the reference's stream_size formula for PCM multiplies
+bits-per-sample by 8 twice (wave.c:273), and its EXTENSIBLE parse reads
+the WAVEFORMATEXTENSIBLE Samples union as THREE sequential WORDs
+(wave.c:108-118) — per mmreg.h it is ONE word, so the reference's
+dwChannelMask/SubFormat land 4 bytes late; we use the mmreg.h layout.
 """
 
 from __future__ import annotations
@@ -39,10 +42,11 @@ def _parse_fmt(raw: bytes) -> dict:
         ext = raw[18:18 + cb]
         fmt["cb_size"] = cb
         if fmt["tag"] == WAVE_FORMAT_EXTENSIBLE and len(ext) >= 22:
+            # mmreg.h WAVEFORMATEXTENSIBLE: Samples union (ONE word),
+            # dwChannelMask, SubFormat GUID
             (fmt["valid_bits"], fmt["channel_mask"]) = \
-                struct.unpack("<HI", ext[:2] + ext[4:8])
-            fmt["samples_per_block"] = struct.unpack("<H", ext[2:4])[0]
-            guid = ext[8:24]
+                struct.unpack("<HI", ext[:6])
+            guid = ext[6:22]
             fmt["subformat"] = guid
             if guid[2:16] == _KS_GUID_SUFFIX:
                 # GUID of the standard KS family: first 2 LE bytes are

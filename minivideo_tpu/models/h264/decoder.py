@@ -336,6 +336,16 @@ def _decode_batched(dec, group_iter, max_pictures, errors):
         # releases the GIL (see parse_groups_slab docstring)
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(max_workers=_os.cpu_count())
+    try:
+        _decode_batched_parts(dec, parts, pictures, pool, use_slab,
+                              errors)
+    finally:
+        if pool is not None:
+            pool.shutdown()
+    return pictures
+
+
+def _decode_batched_parts(dec, parts, pictures, pool, use_slab, errors):
     for sps, pps, groups in parts:
         packed = None
         parsed = None
@@ -364,9 +374,6 @@ def _decode_batched(dec, group_iter, max_pictures, errors):
             if not parsed:
                 continue
         pictures.extend(dec.reconstruct_batch(parsed, packed=packed))
-    if pool is not None:
-        pool.shutdown()
-    return pictures
 
 
 def group_idr_access_units(nalus):

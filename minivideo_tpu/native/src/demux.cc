@@ -139,6 +139,18 @@ struct Buf {
   bool tag(size_t p, const char* t) const {
     return p + 4 <= n && std::memcmp(ptr(p, 4), t, 4) == 0;
   }
+  // copy [p, p+len) into out, looping windows (safe for len > WIN;
+  // ptr() alone clamps to WIN and must not be paired with a larger copy)
+  void read_span(size_t p, size_t len, std::string* out) const {
+    out->clear();
+    out->reserve(len);
+    while (len) {
+      size_t take = std::min(len, WIN);
+      out->append(reinterpret_cast<const char*>(ptr(p, take)), take);
+      p += take;
+      len -= take;
+    }
+  }
   // find 00 00 01, scanning window-by-window with a 2-byte carry
   size_t find_startcode(size_t from) const {
     size_t pos = from;
@@ -760,11 +772,15 @@ bool parse_wave(const Buf& b, Demux& dm) {
       byterate = b.le32(off + 8);
       bits = b.le16(off + 14);
       if (tag == 0xFFFE && size >= 40) {   // WAVE_FORMAT_EXTENSIBLE
+        // mmreg.h layout after cbSize: Samples union (ONE word) at
+        // +18, dwChannelMask at +20, SubFormat GUID at +24
         int64_t valid_bits = b.le16(off + 18);
         if (valid_bits) bits = valid_bits;
-        if (off + 42 <= end &&
-            std::memcmp(b.ptr(off + 28, 14), kKsSuffix, 14) == 0)
-          tag = b.le16(off + 26);          // embedded classic tag
+        if (off + 40 <= end &&
+            std::memcmp(b.ptr(off + 26, 14), kKsSuffix, 14) == 0)
+          tag = b.le16(off + 24);          // embedded classic tag
+        else
+          tag = 0x0001;                    // default LPCM (wave.c:267)
       }
     } else if (std::memcmp(fcc, "fact", 4) == 0 && size >= 4) {
       fact_samples = b.le32(off);
@@ -1348,14 +1364,11 @@ bool parse_mkv(const Buf& b, Demux& dm) {
             if (fe.id == 0xD7) tn = mkv_uint(b, fe.payload, fe.end);
             else if (fe.id == 0x83) ttype = mkv_uint(b, fe.payload, fe.end);
             else if (fe.id == 0x86) {
-              cid.assign((const char*)b.ptr(fe.payload,
-                                            fe.end - fe.payload),
-                         fe.end - fe.payload);
+              b.read_span(fe.payload, fe.end - fe.payload, &cid);
               while (!cid.empty() && cid.back() == 0) cid.pop_back();
             } else if (fe.id == 0x63A2) {
-              codec_private.assign(
-                  (const char*)b.ptr(fe.payload, fe.end - fe.payload),
-                  fe.end - fe.payload);
+              b.read_span(fe.payload, fe.end - fe.payload,
+                          &codec_private);
             } else if (fe.id == 0xE0) {    // Video
               size_t vp = fe.payload;
               MkvEl ve;
@@ -1396,7 +1409,6 @@ bool parse_mkv(const Buf& b, Demux& dm) {
           t.info[2] = codec;
           t.info[3] = 3;
           t.info[9] = (int64_t)tn;
-          t.info[10] = timescale;
           t.info[12] = 4;
           if (!codec_private.empty()) {
             if (codec == CO_H264) mkv_avcc(codec_private, t);
@@ -1440,6 +1452,9 @@ bool parse_mkv(const Buf& b, Demux& dm) {
 
   for (size_t i = 0; i < tracks.size(); i++) {
     NTrack& t = tracks[i];
+    // stamped AFTER the walk: Info (TimestampScale) may legally follow
+    // Tracks in the Segment, and mkv.py applies it post-walk too
+    t.info[10] = timescale;
     uint64_t tn = order[i];
     for (auto& [btn, ref] : blocks) {
       if (btn != tn) continue;

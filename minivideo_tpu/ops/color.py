@@ -28,9 +28,11 @@ def yuv420_to_rgb_device(y: jnp.ndarray, cb: jnp.ndarray,
     Integer BT.601 studio swing, identical rounding/clipping to the
     reference's mb_to_rgb and the host converter."""
     # 2x2 nearest-neighbor chroma upsample (reference repeats the
-    # chroma sample across the 2x2 luma block)
-    cb_up = jnp.repeat(jnp.repeat(cb, 2, axis=1), 2, axis=2)
-    cr_up = jnp.repeat(jnp.repeat(cr, 2, axis=1), 2, axis=2)
+    # chroma sample across the 2x2 luma block), cropped to the luma
+    # plane like the host converter (odd luma dimensions)
+    h, w = y.shape[1], y.shape[2]
+    cb_up = jnp.repeat(jnp.repeat(cb, 2, axis=1), 2, axis=2)[:, :h, :w]
+    cr_up = jnp.repeat(jnp.repeat(cr, 2, axis=1), 2, axis=2)[:, :h, :w]
     c = y.astype(jnp.int32) - 16
     d = cb_up.astype(jnp.int32) - 128
     e = cr_up.astype(jnp.int32) - 128

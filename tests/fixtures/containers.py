@@ -249,11 +249,14 @@ def _ebml_uint(eid: int, v: int) -> bytes:
 
 
 def write_mkv(annexb: bytes, width: int, height: int,
-              lacing: str = "none") -> bytes:
+              lacing: str = "none", info_last: bool = False,
+              timescale: int = 1000000) -> bytes:
     """Wrap H.264 access units in a minimal Matroska file (SimpleBlocks
     across two Clusters; AVCC length-prefixed frames + avcC
     CodecPrivate).  lacing: "none" or "xiph" (all frames in one laced
-    SimpleBlock, still keyframes)."""
+    SimpleBlock, still keyframes).  info_last=True emits the Info
+    element (TimestampScale) AFTER Tracks+Clusters — legal EBML
+    ordering that forces parsers to apply the timescale post-walk."""
     sps, pps, samples = annexb_to_avcc_samples(annexb)
     avcc = bytes([1, sps[0][1], sps[0][2], sps[0][3], 0xFF,
                   0xE0 | len(sps)])
@@ -269,7 +272,7 @@ def write_mkv(annexb: bytes, width: int, height: int,
                     + _ebml_uint(0x42F2, 4) + _ebml_uint(0x42F3, 8)
                     + _ebml_el(0x4282, b"matroska")  # DocType
                     + _ebml_uint(0x4287, 4) + _ebml_uint(0x4285, 2))
-    info = _ebml_el(0x1549A966, _ebml_uint(0x2AD7B1, 1000000))
+    info = _ebml_el(0x1549A966, _ebml_uint(0x2AD7B1, timescale))
     video = _ebml_el(0xE0, _ebml_uint(0xB0, width) + _ebml_uint(0xBA,
                                                                 height))
     entry = _ebml_el(0xAE, _ebml_uint(0xD7, 1) + _ebml_uint(0x73C5, 1)
@@ -305,7 +308,10 @@ def write_mkv(annexb: bytes, width: int, height: int,
                 body += simpleblock([f], i * 40)
             clusters += _ebml_el(0x1F43B675, body)
 
-    segment = _ebml_el(0x18538067, info + tracks + clusters)
+    if info_last:
+        segment = _ebml_el(0x18538067, tracks + clusters + info)
+    else:
+        segment = _ebml_el(0x18538067, info + tracks + clusters)
     return ebml + segment
 
 
@@ -323,11 +329,13 @@ def write_wav_extensible(pcm: np.ndarray, rate: int = 16000,
                          channel_mask: int = 0x3,
                          cue_samples=(0, 4000)) -> bytes:
     """WAVE_FORMAT_EXTENSIBLE (0xFFFE) file with fact + cue chunks:
-    SubFormat = KSDATAFORMAT_SUBTYPE_PCM (embedded tag 0x0001)."""
+    SubFormat = KSDATAFORMAT_SUBTYPE_PCM (embedded tag 0x0001);
+    spec-conformant mmreg.h layout (Samples union = ONE word,
+    cbSize = 22)."""
     data = pcm.astype("<i2").tobytes()
     guid = struct.pack("<H", 1) + bytes.fromhex(
         "000000001000800000AA00389B71")
-    ext = struct.pack("<HHI", valid_bits, 0, channel_mask) + guid
+    ext = struct.pack("<HI", valid_bits, channel_mask) + guid
     fmt = struct.pack("<HHIIHH", 0xFFFE, channels, rate,
                       rate * 2 * channels, 2 * channels, 16) \
         + struct.pack("<H", len(ext)) + ext

@@ -285,11 +285,14 @@ def test_filewindow_matches_bytes():
     assert fw.find(b"\x47", 199_990) == blob.find(b"\x47", 199_990)
 
 
-def test_streaming_demux_bounded_memory(tmp_path):
+@pytest.mark.parametrize("path_kind", ["python", "native"])
+def test_streaming_demux_bounded_memory(tmp_path, path_kind):
     """A ~1 GB sparse TS file demuxes in a subprocess whose peak RSS
-    stays far below the file size — the demuxer streams through a
-    bounded window (reference bitstream.c:51) instead of slurping
-    (round-3 behavior: containers/ts.py:57 read the whole file)."""
+    stays far below the file size — BOTH demux paths stream through a
+    bounded window (Python FileWindow and the native windowed Buf;
+    reference bitstream.c:51) instead of slurping (round-3 behavior:
+    containers/ts.py:57 and demux.cc Buf read the whole file)."""
+    import os
     import subprocess
     import sys
 
@@ -311,8 +314,14 @@ def test_streaming_demux_bounded_memory(tmp_path):
         "assert rss_mb < 300, f'demux peaked at {rss_mb:.0f} MB RSS'\n"
         "print(f'ok rss={rss_mb:.0f}MB')\n"
     )
+    env = dict(os.environ)
+    if path_kind == "python":
+        env["MINIVIDEO_TPU_NO_NATIVE"] = "1"
+    else:
+        env.pop("MINIVIDEO_TPU_NO_NATIVE", None)
     r = subprocess.run([sys.executable, "-c", code, str(big)],
-                       capture_output=True, text=True, timeout=300)
+                       capture_output=True, text=True, timeout=300,
+                       env=env)
     assert r.returncode == 0, r.stderr[-800:]
     assert r.stdout.startswith("ok")
 
@@ -320,9 +329,12 @@ def test_streaming_demux_bounded_memory(tmp_path):
 def test_streaming_demuxers_tiny_window(annexb, tmp_path, monkeypatch):
     """Every FileWindow-based demuxer demuxes + decodes correctly with
     a 4 KiB window, forcing window slides across every structure
-    boundary (the classic windowed-parser failure mode)."""
+    boundary (the classic windowed-parser failure mode).  Forces the
+    PYTHON demuxers — with the native library present mv_parse would
+    otherwise route around FileWindow entirely."""
     import minivideo_tpu.bufio as bufio
     monkeypatch.setattr(bufio, "DEFAULT_WINDOW", 4096)
+    monkeypatch.setenv("MINIVIDEO_TPU_NO_NATIVE", "1")
     ref = decode_annexb(annexb)
     fixtures = [("w.ts", C.write_ts(annexb)),
                 ("w.mkv", C.write_mkv(annexb, 64, 48)),

@@ -256,3 +256,16 @@ def test_mkv_ts_native_decode_end_to_end(annexb, tmp_path):
         for a, b in zip(pics, ref):
             np.testing.assert_array_equal(a.y, b.y)
         mv_close(m2)
+
+
+def test_mkv_info_after_tracks_parity(annexb, tmp_path):
+    """TimestampScale from an Info element that FOLLOWS Tracks and
+    Clusters (legal EBML ordering) must still scale every timestamp —
+    both demuxers apply the timescale after the full segment walk."""
+    p = tmp_path / "late_info.mkv"
+    p.write_bytes(C.write_mkv(annexb, 64, 48, info_last=True,
+                              timescale=500000))
+    m = _assert_tracks_equal(str(p))
+    t = m.tracks_video[0]
+    # cluster 1 starts at tick 1000 -> 500 us/tick -> 0.5 ms * 1000
+    assert t.sample_pts.max() >= 1000 * 500000
