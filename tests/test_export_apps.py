@@ -138,6 +138,28 @@ def test_extractor_cli(clip264, tmp_path):
     assert len(pics) == 2
 
 
+def test_extractor_cli_ts_fragments(clip264, tmp_path):
+    """ES extraction from a TS file: the muxer reassembles each PES
+    unit from its scattered transport-packet fragments
+    (Track.fragments) and the extracted ES decodes to the same
+    pictures as the original stream."""
+    import numpy as np
+    import fixtures.containers as C
+    from minivideo_tpu.models.h264.decoder import decode_annexb
+    es, _ = clip264
+    data = es.read_bytes()
+    ts = tmp_path / "clip.ts"
+    ts.write_bytes(C.write_ts(data))
+    r = _run_cli("extractor", "-i", str(ts), "-o", str(tmp_path), "-v")
+    assert r.returncode == 0, r.stderr
+    out = r.stdout.strip()
+    ref = decode_annexb(data)
+    got = decode_annexb(open(out, "rb").read())
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a.y, b.y)
+
+
 def test_extractor_cli_pes(clip264, tmp_path):
     _, mp4 = clip264
     r = _run_cli("extractor", "-i", str(mp4), "-o", str(tmp_path), "-v",
