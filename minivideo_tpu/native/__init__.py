@@ -70,8 +70,109 @@ def load():
     ]
     lib.mv_cabac_bins_total.restype = ctypes.c_uint64
     lib.mv_cabac_bins_total.argtypes = []
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.c_int32
+    lib.mv_yuv420_to_rgb.restype = None
+    lib.mv_yuv420_to_rgb.argtypes = [u8p, u8p, u8p, i32, i32, i32, i32,
+                                     u8p]
+    lib.mv_encode_jpeg.restype = ctypes.c_int64
+    lib.mv_encode_jpeg.argtypes = [u8p, u8p, u8p, i32, i32, i32, i32,
+                                   i32, u8p, ctypes.c_int64]
+    lib.mv_encode_png.restype = ctypes.c_int64
+    lib.mv_encode_png.argtypes = [u8p, i32, i32, i32, i32, u8p,
+                                  ctypes.c_int64]
+    for enc in (lib.mv_encode_bmp, lib.mv_encode_tga):
+        enc.restype = ctypes.c_int64
+        enc.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32, u8p,
+                        ctypes.c_int64]
     _lib = lib
     return lib
+
+
+def _u8p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _c(arr):
+    a = np.ascontiguousarray(arr)
+    assert a.dtype == np.uint8
+    return a
+
+
+def yuv420_to_rgb_native(y, cb, cr) -> np.ndarray:
+    """Planar 4:2:0 -> interleaved RGB888 (integer BT.601; bit-exact with
+    export/image.py yuv420_to_rgb — the reference's mb_to_rgb math,
+    export_utils.c:297-304)."""
+    lib = load()
+    assert lib is not None
+    y, cb, cr = _c(y), _c(cb), _c(cr)
+    h, w = y.shape
+    ch, cw = cb.shape
+    out = np.empty((h, w, 3), np.uint8)
+    lib.mv_yuv420_to_rgb(_u8p(y), _u8p(cb), _u8p(cr), h, w, ch, cw,
+                         _u8p(out))
+    return out
+
+
+def encode_jpeg_native(y, cb, cr, quality: int = 75) -> bytes:
+    """Baseline JPEG (4:2:0) straight from decoded planes; C-speed
+    equivalent of the reference's libjpeg path (export.c:341-445)."""
+    lib = load()
+    assert lib is not None
+    y, cb, cr = _c(y), _c(cb), _c(cr)
+    h, w = y.shape
+    ch, cw = cb.shape
+    cap = h * w * 3 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.mv_encode_jpeg(_u8p(y), _u8p(cb), _u8p(cr), h, w, ch, cw,
+                           quality, _u8p(out), cap)
+    if n < 0:
+        raise RuntimeError(f"native JPEG encode failed (code {n})")
+    return out[:n].tobytes()
+
+
+def encode_png_native(rgb, level: int = 3, threads: int = 0) -> bytes:
+    """PNG RGB8: per-row sub filtering + banded parallel deflate (pigz
+    construction: raw bands joined at Z_FULL_FLUSH byte boundaries,
+    adler32_combine trailer).  threads=0 = all cores.  Reference:
+    export.c:447-551 (libpng/stb single-thread writers)."""
+    lib = load()
+    assert lib is not None
+    rgb = _c(rgb)
+    h, w, _ = rgb.shape
+    cap = h * (w * 3 + 1) + (h * w // 100) + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.mv_encode_png(_u8p(rgb), h, w, level, threads, _u8p(out),
+                          cap)
+    if n < 0:
+        raise RuntimeError(f"native PNG encode failed (code {n})")
+    return out[:n].tobytes()
+
+
+def encode_bmp_native(rgb) -> bytes:
+    lib = load()
+    assert lib is not None
+    rgb = _c(rgb)
+    h, w, _ = rgb.shape
+    cap = 54 + (w * 3 + 3) // 4 * 4 * h
+    out = np.empty(cap, np.uint8)
+    n = lib.mv_encode_bmp(_u8p(rgb), h, w, _u8p(out), cap)
+    if n < 0:
+        raise RuntimeError(f"native BMP encode failed (code {n})")
+    return out[:n].tobytes()
+
+
+def encode_tga_native(rgb) -> bytes:
+    lib = load()
+    assert lib is not None
+    rgb = _c(rgb)
+    h, w, _ = rgb.shape
+    cap = 18 + h * w * 3
+    out = np.empty(cap, np.uint8)
+    n = lib.mv_encode_tga(_u8p(rgb), h, w, _u8p(out), cap)
+    if n < 0:
+        raise RuntimeError(f"native TGA encode failed (code {n})")
+    return out[:n].tobytes()
 
 
 def cabac_bins_total() -> int:
