@@ -59,9 +59,10 @@ def extract_video_stream(media: MediaFile, track: Track) -> bytes:
 
 def mv_decode(media: MediaFile, picture_number: int = 1,
               mode: PictureRepartition = PictureRepartition.UNFILTERED,
-              engine: str = "np"):
+              engine: str = "np", want_rgb: bool = False):
     """Decode up to picture_number IDR pictures from the first video track
-    (minivideo_decode).  Returns a list of DecodedPicture."""
+    (minivideo_decode).  Returns a list of DecodedPicture.  want_rgb:
+    device engines also convert to RGB888 on device (ops/color.py)."""
     from .models.h264.decoder import decode_annexb
     if not media.tracks_video:
         trace.error("MAIN", "no video track to decode")
@@ -96,7 +97,7 @@ def mv_decode(media: MediaFile, picture_number: int = 1,
             out += b"\x00\x00\x00\x01" + raw if not raw.startswith(
                 (b"\x00\x00\x01", b"\x00\x00\x00\x01")) else raw
     return decode_annexb(bytes(out), max_pictures=picture_number,
-                         engine=engine)
+                         engine=engine, want_rgb=want_rgb)
 
 
 def mv_extract(media: MediaFile, track: Track, out_path: str,

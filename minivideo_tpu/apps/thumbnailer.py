@@ -54,13 +54,19 @@ def main(argv=None) -> int:
     os.makedirs(args.output, exist_ok=True)
 
     from ..export.image import export_picture
+    fmt = _FMT[args.format]
+    # RGB formats on a device engine: convert on device, fused into the
+    # decode readback (ops/color.py) — no host conversion pass
+    want_rgb = fmt in (PictureFormat.BMP, PictureFormat.TGA,
+                       PictureFormat.PNG) and args.engine != "np"
     media = mv_open(args.input)
     try:
         if not mv_parse(media, audio=False, video=True, subs=False):
             print("error: could not parse container", file=sys.stderr)
             return 1
         pics = mv_decode(media, picture_number=max(1, min(args.number, 999)),
-                         mode=_MODE[args.mode], engine=args.engine)
+                         mode=_MODE[args.mode], engine=args.engine,
+                         want_rgb=want_rgb)
         if not pics:
             print("error: no pictures decoded", file=sys.stderr)
             return 1
@@ -68,8 +74,10 @@ def main(argv=None) -> int:
         for i, pic in enumerate(pics):
             suffix = f"_{i}" if len(pics) > 1 else ""
             y, cb, cr = pic.cropped()
-            path = export_picture(f"{base}{suffix}", _FMT[args.format],
-                                  y, cb, cr, args.quality)
+            rgb = pic.cropped_rgb() if (want_rgb
+                                        and pic.rgb is not None) else None
+            path = export_picture(f"{base}{suffix}", fmt,
+                                  y, cb, cr, args.quality, rgb=rgb)
             print(path)
         return 0
     finally:

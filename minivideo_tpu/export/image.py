@@ -403,19 +403,22 @@ _EXT = {PictureFormat.JPG: "jpg", PictureFormat.PNG: "png",
 
 
 def export_picture(path_base: str, fmt: PictureFormat, y, cb, cr,
-                   quality: int = 75) -> str:
-    """Write one decoded picture; returns the output path."""
+                   quality: int = 75, rgb=None) -> str:
+    """Write one decoded picture; returns the output path.
+
+    `rgb` (optional): precomputed RGB888 — e.g. converted on device by
+    the decode (ops/color.py via mv_decode(want_rgb=True)); when absent
+    the RGB formats convert here (native C fast path)."""
     path = f"{path_base}.{_EXT[fmt]}"
     if fmt == PictureFormat.YUV420:
         write_yuv420(path, y, cb, cr)
     elif fmt == PictureFormat.YUV444:
         write_yuv444(path, y, cb, cr)
-    elif fmt == PictureFormat.BMP:
-        write_bmp(path, yuv420_to_rgb(y, cb, cr))
-    elif fmt == PictureFormat.TGA:
-        write_tga(path, yuv420_to_rgb(y, cb, cr))
-    elif fmt == PictureFormat.PNG:
-        write_png(path, yuv420_to_rgb(y, cb, cr))
+    elif fmt in (PictureFormat.BMP, PictureFormat.TGA, PictureFormat.PNG):
+        if rgb is None:
+            rgb = yuv420_to_rgb(y, cb, cr)
+        {PictureFormat.BMP: write_bmp, PictureFormat.TGA: write_tga,
+         PictureFormat.PNG: write_png}[fmt](path, rgb)
     elif fmt == PictureFormat.JPG:
         write_jpeg(path, y, cb, cr, quality)
     else:

@@ -53,22 +53,38 @@ class DecodedPicture:
     height: int
     idr_index: int = 0
     syntax: object = None    # FrameSyntax (kept for tests/benchmarks)
+    rgb: np.ndarray = None   # device-converted RGB888 (ops/color.py),
+    #                          set when the decode requested RGB output
 
     def cropped(self):
         return (self.y[:self.height, :self.width],
                 self.cb[:self.height // 2, :self.width // 2],
                 self.cr[:self.height // 2, :self.width // 2])
 
+    def cropped_rgb(self):
+        """Display-cropped RGB888: the device-converted plane when the
+        decode produced one, else the native/numpy host conversion
+        (bit-identical by construction — test_export_apps pins it)."""
+        if self.rgb is not None:
+            return self.rgb[:self.height, :self.width]
+        from ...export.image import yuv420_to_rgb
+        return yuv420_to_rgb(*self.cropped())
+
 
 class H264Decoder:
     """Stateful NALU-stream decoder (SPS/PPS context + IDR decoding)."""
 
-    def __init__(self, engine: str = "np"):
+    def __init__(self, engine: str = "np", want_rgb: bool = False):
         self.sps_map: dict = {}
         self.pps_map: dict = {}
         self.engine = engine
         self.idr_count = 0
         self.error_count = 0
+        # RGB conversion on device, fused into the readback (SURVEY §7:
+        # pixel conversion is a device op; ops/color.py).  Only takes
+        # effect on device engines; the np oracle leaves rgb=None and
+        # export falls back to the host converter.
+        self.want_rgb = want_rgb
 
     # -- NALU feed -----------------------------------------------------------
 
@@ -246,13 +262,18 @@ class H264Decoder:
         else:
             from ...ops.recon_wave import reconstruct_frames_wave
             yb, cbb, crb = reconstruct_frames_wave(packed)
+        rgbb = None
+        if self.want_rgb:
+            from ...ops.color import yuv420_to_rgb_device
+            rgbb = yuv420_to_rgb_device(yb, cbb, crb)
         pics = []
         for i, (fs, _) in enumerate(frames):
             pics.append(DecodedPicture(
                 y=np.asarray(yb[i]), cb=np.asarray(cbb[i]),
                 cr=np.asarray(crb[i]),
                 width=sps.cropped_width, height=sps.cropped_height,
-                idr_index=self.idr_count, syntax=fs))
+                idr_index=self.idr_count, syntax=fs,
+                rgb=np.asarray(rgbb[i]) if rgbb is not None else None))
             self.idr_count += 1
         return pics
 
@@ -274,14 +295,19 @@ class H264Decoder:
             else:
                 from ...ops.recon_wave import reconstruct_frames_wave
                 yb, cbb, crb = reconstruct_frames_wave(packed)
+            rgb = None
+            if self.want_rgb:
+                from ...ops.color import yuv420_to_rgb_device
+                rgb = _np.asarray(yuv420_to_rgb_device(yb, cbb, crb)[0])
             y, cb, cr = (_np.asarray(yb[0]), _np.asarray(cbb[0]),
                          _np.asarray(crb[0]))
         else:
             y, cb, cr = reconstruct_frame(fs, sps, pps, slice_of_mb)
+            rgb = None
         pic = DecodedPicture(
             y=y, cb=cb, cr=cr,
             width=sps.cropped_width, height=sps.cropped_height,
-            idr_index=self.idr_count, syntax=fs)
+            idr_index=self.idr_count, syntax=fs, rgb=rgb)
         self.idr_count += 1
         return pic
 
@@ -399,12 +425,14 @@ def group_idr_access_units(nalus):
     return groups
 
 
-def decode_annexb(data: bytes, max_pictures: int = 0, engine: str = "np"):
+def decode_annexb(data: bytes, max_pictures: int = 0, engine: str = "np",
+                  want_rgb: bool = False):
     """Decode an Annex-B byte stream; returns list of DecodedPicture.
 
     Mirrors the reference's h264_decode() main loop (h264.c:76-188),
-    including its tolerance for per-NALU errors."""
-    dec = H264Decoder(engine=engine)
+    including its tolerance for per-NALU errors.  want_rgb: device
+    engines also return RGB888 converted on device (ops/color.py)."""
+    dec = H264Decoder(engine=engine, want_rgb=want_rgb)
     pictures = []
     errors = 0
     units = split_annexb(data)

@@ -236,3 +236,29 @@ def test_device_yuv420_to_rgb_matches_host():
     for i in range(B):
         np.testing.assert_array_equal(dev[i],
                                       yuv420_to_rgb(y[i], cb[i], cr[i]))
+
+
+def test_decode_want_rgb_device_path(clip264):
+    """mv_decode(want_rgb=True) on a device engine carries the
+    device-converted RGB (ops/color.py wired into the decode readback);
+    it must match the host converter on the same coded planes."""
+    from minivideo_tpu.export.image import yuv420_to_rgb
+    from minivideo_tpu.models.h264.decoder import decode_annexb
+    es, _ = clip264
+    data = es.read_bytes()
+    pics = decode_annexb(data, max_pictures=2, engine="jax",
+                         want_rgb=True)
+    assert pics and all(p.rgb is not None for p in pics)
+    for p in pics:
+        np.testing.assert_array_equal(p.rgb,
+                                      yuv420_to_rgb(p.y, p.cb, p.cr))
+        # cropped_rgb crops the device plane (even dims: identical to
+        # converting the cropped planes)
+        np.testing.assert_array_equal(p.cropped_rgb(),
+                                      yuv420_to_rgb(*p.cropped()))
+    # np engine leaves rgb=None and cropped_rgb falls back to host
+    pics_np = decode_annexb(data, max_pictures=1, engine="np",
+                            want_rgb=True)
+    assert pics_np[0].rgb is None
+    np.testing.assert_array_equal(pics_np[0].cropped_rgb(),
+                                  yuv420_to_rgb(*pics_np[0].cropped()))
