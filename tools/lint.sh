@@ -31,4 +31,37 @@ assert not bad, bad
 print(f"all minivideo_tpu modules import cleanly")
 EOF
 
+echo "== packaging: fresh-venv editable install + CLI smoke"
+# offline install: a .pth link to the parent env supplies
+# numpy/jax/setuptools (venv-from-venv: --system-site-packages would
+# point at the BASE interpreter, not /opt/venv), --no-index proves
+# nothing is fetched (this image has zero egress)
+VENV=$(mktemp -d)/venv
+python -m venv "$VENV"
+PARENT_SITE=$(python -c "import numpy, os; print(os.path.dirname(os.path.dirname(numpy.__file__)))")
+VENV_SITE=$("$VENV/bin/python" -c "import site; print(site.getsitepackages()[0])")
+echo "$PARENT_SITE" > "$VENV_SITE/parent_env.pth"
+"$VENV/bin/pip" install -q -e . --no-build-isolation --no-index
+"$VENV/bin/mv-thumbnail" --help > /dev/null
+"$VENV/bin/mv-extract" --help > /dev/null
+"$VENV/bin/mv-analyse" --help > /dev/null
+PYTHONPATH=tests "$VENV/bin/python" - <<'EOF'
+import subprocess, sys, tempfile, os
+from fixtures.h264enc import make_stream
+d = tempfile.mkdtemp()
+clip = os.path.join(d, "clip.264")
+open(clip, "wb").write(make_stream(width_mbs=4, height_mbs=3,
+                                   n_pictures=1, seed=5,
+                                   mb_kinds=("i16",), density=0.2,
+                                   allow_pcm=False))
+exe = os.path.join(os.path.dirname(sys.executable), "mv-thumbnail")
+r = subprocess.run([exe, "-i", clip, "-o", d, "-f", "bmp"],
+                   capture_output=True, text=True)
+assert r.returncode == 0, r.stderr
+out = r.stdout.strip()
+assert os.path.getsize(out) > 54, out
+print("console-script thumbnail run OK:", os.path.basename(out))
+EOF
+rm -rf "$(dirname "$VENV")"
+
 echo "lint: OK"
