@@ -102,16 +102,50 @@ def ensure_compile_cache() -> None:
         pass
 
 
+# Measured pipeline constants (PERF.md round 4; x264 QP26 CAVLC 1080p,
+# user-CPU ms/frame on the 2.1 GHz bench core, flat per-core scaling
+# measured 1/2/4 threads).  They parameterize the staging decision
+# below; refresh them when the parser or kernel changes materially.
+HOST_MS_RECORDS = 11.6    # per-core entropy+pack ms/frame, v1 records
+HOST_MS_DEVICE = 12.5     # per-core ms/frame, v2 device layout
+DEVICE_FPS_RECORDS = 1065.0   # chip fps on the records feed (BENCH_r04)
+DEVICE_FPS_DEVICE = 2040.0    # chip fps on the device feed
+
+
+def staging_throughput(cores: int, mode: str) -> float:
+    """Modelled end-of-pipe fps: the host feed (cores x measured
+    per-core rate) and the chip drain run concurrently, so the pipe
+    moves at the slower of the two."""
+    if mode == "device":
+        return min(cores * 1000.0 / HOST_MS_DEVICE, DEVICE_FPS_DEVICE)
+    return min(cores * 1000.0 / HOST_MS_RECORDS, DEVICE_FPS_RECORDS)
+
+
+def staging_crossover_cores() -> int:
+    """Smallest host core count where the device layout wins.
+
+    The records layout feeds ~8% faster per core but its chip drain
+    caps at DEVICE_FPS_RECORDS; once enough cores can push the v2 feed
+    PAST that cap, the device layout's 2x chip headroom takes over:
+        N * 1000 / HOST_MS_DEVICE > DEVICE_FPS_RECORDS
+    (≈14 cores with the round-4 constants — derived, not asserted;
+    VERDICT r4 #7)."""
+    import math
+    return max(1, math.floor(DEVICE_FPS_RECORDS * HOST_MS_DEVICE
+                             / 1000.0) + 1)
+
+
 def staging_mode() -> str:
     """Slab staging layout for the fused-engine pipeline: "records" or
     "device" (see decoder.parse_groups_slab).
 
-    MINIVIDEO_TPU_STAGING overrides; "auto" (default) picks by the
-    host:chip balance — the device layout costs ~40% more host CPU per
-    frame but cuts the device pass 2x (PERF.md round 3), so it wins
-    whenever the host pool isn't the bottleneck.  Hosts with fewer than
-    16 cores (like the 2-core bench VM, where entropy decode bounds the
-    whole pipe) stay on records.
+    MINIVIDEO_TPU_STAGING overrides; "auto" (default) picks the layout
+    with the higher modelled throughput for this host's core count
+    (staging_throughput / staging_crossover_cores): the device layout
+    costs ~8% more host CPU per frame but cuts the device pass ~2x
+    (PERF.md), so it wins once the host pool can outrun the records
+    layout's chip cap.  Few-core hosts (like the 2-core bench VM,
+    entropy-bound) stay on records.
     """
     mode = os.environ.get("MINIVIDEO_TPU_STAGING", "auto")
     if mode in ("records", "device"):
@@ -120,7 +154,9 @@ def staging_mode() -> str:
         raise ValueError(
             f"MINIVIDEO_TPU_STAGING={mode!r}: expected 'records', "
             f"'device' or 'auto'")
-    return "device" if (os.cpu_count() or 1) >= 16 else "records"
+    cores = os.cpu_count() or 1
+    return ("device" if cores >= staging_crossover_cores()
+            else "records")
 
 
 def endianness() -> int:

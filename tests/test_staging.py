@@ -65,3 +65,46 @@ def test_staged_pack_matches_copying_pack(entropy):
     np.testing.assert_array_equal(a.ls4, b.ls4)
     np.testing.assert_array_equal(a.ls8, b.ls8)
     assert a.chroma_qp_off == b.chroma_qp_off
+
+
+# ---------------------------------------------------------------------------
+# staging-mode auto selection (settings.py): derived from the measured
+# feed/drain constants, not a hard-coded core threshold (VERDICT r4 #7)
+
+
+def test_staging_crossover_derived(monkeypatch):
+    from minivideo_tpu import settings as S
+
+    n = S.staging_crossover_cores()
+    assert 2 <= n <= 64
+    # the crossover is exactly where the modelled throughputs flip
+    assert (S.staging_throughput(n - 1, "records")
+            >= S.staging_throughput(n - 1, "device"))
+    assert (S.staging_throughput(n, "device")
+            > S.staging_throughput(n, "records"))
+
+    # auto mode follows the model for synthetic core counts
+    monkeypatch.delenv("MINIVIDEO_TPU_STAGING", raising=False)
+    for cores, want in ((2, "records"), (n - 1, "records"),
+                        (n, "device"), (64, "device")):
+        monkeypatch.setattr(S.os, "cpu_count", lambda c=cores: c)
+        assert S.staging_mode() == want, cores
+
+    # explicit override + validation still apply
+    monkeypatch.setenv("MINIVIDEO_TPU_STAGING", "records")
+    assert S.staging_mode() == "records"
+    monkeypatch.setenv("MINIVIDEO_TPU_STAGING", "bogus")
+    with pytest.raises(ValueError):
+        S.staging_mode()
+
+
+def test_staging_throughput_model_shape():
+    from minivideo_tpu import settings as S
+    # single core: records feeds faster (cheaper per-frame host cost)
+    assert (S.staging_throughput(1, "records")
+            > S.staging_throughput(1, "device"))
+    # unbounded cores: device wins on chip headroom
+    assert (S.staging_throughput(256, "device")
+            == S.DEVICE_FPS_DEVICE)
+    assert (S.staging_throughput(256, "records")
+            == S.DEVICE_FPS_RECORDS)
