@@ -87,8 +87,9 @@ def _have_x264():
     return r.returncode == 0
 
 
-def get_stream(entropy: str, slices: int = 1) -> bytes:
-    tag = f"{entropy}_x264" + (f"_s{slices}" if slices > 1 else "")
+def get_stream(entropy: str, slices: int = 1, dct8: bool = False) -> bytes:
+    tag = (f"{entropy}_x264" + (f"_s{slices}" if slices > 1 else "")
+           + ("_8x8" if dct8 else ""))
     path = os.path.join(ROOT, ".bench_cache", f"stream_1080p_{tag}.264")
     if os.path.exists(path):
         return open(path, "rb").read()
@@ -97,8 +98,8 @@ def get_stream(entropy: str, slices: int = 1) -> bytes:
         log(f"bench: encoding 1080p {tag} with libx264 (one-time)...")
         r = subprocess.run(
             ["/tmp/x264_fixture", path, "1920", "1088", str(N_FRAMES),
-             str(QP), "1" if entropy == "cabac" else "0", "0", "42",
-             str(slices), str(NOISE)],
+             str(QP), "1" if entropy == "cabac" else "0",
+             "1" if dct8 else "0", "42", str(slices), str(NOISE)],
             capture_output=True, text=True, timeout=600)
         if r.returncode == 0:
             return open(path, "rb").read()
@@ -416,52 +417,188 @@ def main():
     # host and device stages run concurrently on their real work; wall
     # clock over ITERS batches = end-of-pipe throughput of a co-located
     # deployment (transfer excluded; see module docstring)
-    RUNS = 2
-    e2e = {}
-    e2e_median = {}
-    for entropy in ("cavlc", "cabac"):
-        pictures, sps, pps = preps[entropy]
+    RUNS = 3                     # ≥3 runs, median-first (VERDICT r4 #5)
 
-        def one_run():
+    def overlapped(pictures, sps, pps, entropy, fns=None, runs=RUNS,
+                   consume=None, drain=None):
+        """runs x (host entropy thread || device dispatch); returns the
+        per-run end-of-pipe fps list.  `consume(pack)` runs in the host
+        thread per batch; `drain()` is awaited inside the wall clock
+        (export futures)."""
+        res = []
+        for _ in range(runs):
             err = []
 
             def host_worker():
                 try:
-                    host_stream(pictures, sps, pps, pool, mode, ITERS)
+                    host_stream(pictures, sps, pps, pool, mode, ITERS,
+                                consume=consume)
                 except Exception as e:                # noqa: BLE001
                     err.append(e)
 
             t0 = time.time()
             th = threading.Thread(target=host_worker)
             th.start()
-            run_device(ITERS, entropy)
+            run_device(ITERS, entropy, fns=fns)
             th.join()
+            if drain is not None:
+                drain()
             dt = time.time() - t0
             if err:
                 raise err[0]
-            return BATCH * ITERS / dt
+            res.append(BATCH * ITERS / dt)
+        return res
 
-        # two runs: the first after the big compiles/transfers routinely
-        # eats a transient on this shared 2-core VM; JSON records the
-        # aggregation (best) plus the median
-        runs = [one_run() for _ in range(RUNS)]
-        e2e[entropy] = max(runs)
+    e2e_best = {}
+    e2e_median = {}
+    for entropy in ("cavlc", "cabac"):
+        pictures, sps, pps = preps[entropy]
+        runs = overlapped(pictures, sps, pps, entropy)
+        e2e_best[entropy] = max(runs)
         e2e_median[entropy] = statistics.median(runs)
         log(f"bench: overlapped [{entropy}]: {BATCH*ITERS} frames/run, "
-            f"runs={RUNS} best={e2e[entropy]:.1f} "
-            f"median={e2e_median[entropy]:.1f} fps end-of-pipe")
+            f"runs={RUNS} median={e2e_median[entropy]:.1f} "
+            f"best={e2e_best[entropy]:.1f} fps end-of-pipe "
+            f"(all: {', '.join(f'{r:.1f}' for r in runs)})")
+
+    # ---- 8x8 transform (High-profile) variant ------------------------------
+    # x264 High profile uses dct8 on most MBs at these QPs; this section
+    # publishes the has8x8=True kernel + host entropy numbers real
+    # content exercises (VERDICT r4 #3).  Guarded: any failure reports
+    # null rather than killing the headline bench.
+    x8 = {"entropy_fps": {}, "device_fps": None, "e2e_median": {},
+          "e2e_best": {}, "bins_per_frame_cabac": 0}
+    try:
+        preps8 = {}
+        for entropy in ("cavlc", "cabac"):
+            data = get_stream(entropy, dct8=True)
+            pictures, sps, pps = prep_pictures(data)
+            preps8[entropy] = (pictures, sps, pps)
+            host_batch(pictures, sps, pps, pool, mode)    # warm pages
+            b0 = cabac_bins_total()
+            dt = min(_timed(lambda: host_batch(pictures, sps, pps, pool,
+                                               mode))
+                     for _ in range(2))
+            if entropy == "cabac":
+                x8["bins_per_frame_cabac"] = \
+                    (cabac_bins_total() - b0) // BATCH // 2
+            x8["entropy_fps"][entropy] = round(BATCH / dt, 1)
+            log(f"bench: host stage [8x8 {entropy}]: {dt*1000:.0f} "
+                f"ms/batch ({BATCH/dt:.1f} fps entropy+pack)")
+        pk8 = {e: host_batch(*preps8[e], pool, mode)
+               for e in ("cavlc", "cabac")}
+        log(f"bench: kernel variant [8x8 cavlc pack]: "
+            f"has8x8={pk8['cavlc'].has8x8} haspcm={pk8['cavlc'].haspcm}")
+        fns8 = {e: bind(pk) for e, pk in pk8.items()}
+        t0 = time.time()
+        run_device(1, "cavlc", fns=fns8)
+        log(f"bench: first 8x8 call (compile) {time.time()-t0:.1f}s")
+        run_device(1, "cabac", fns=fns8)
+        # on-TPU output assertion for the 8x8 kernel variant
+        oracle8 = decode_annexb(get_stream("cavlc", dct8=True),
+                                max_pictures=1, engine="np")[0]
+        y8, cb8, cr8 = fns8["cavlc"]()
+        np.testing.assert_array_equal(np.asarray(y8[0]), oracle8.y,
+                                      err_msg="Y 8x8 variant")
+        np.testing.assert_array_equal(np.asarray(cb8[0]), oracle8.cb,
+                                      err_msg="Cb 8x8 variant")
+        log("bench: on-TPU output check [8x8]: bit-exact vs numpy oracle")
+        t0 = time.time()
+        run_device(ITERS, "cavlc", fns=fns8)
+        dt = time.time() - t0
+        x8["device_fps"] = round(BATCH * ITERS / dt, 1)
+        log(f"bench: device stage [8x8]: {dt/ITERS*1000:.0f} ms/batch "
+            f"({x8['device_fps']} fps)")
+        for entropy in ("cavlc", "cabac"):
+            pictures, sps, pps = preps8[entropy]
+            runs = overlapped(pictures, sps, pps, entropy, fns=fns8)
+            x8["e2e_best"][entropy] = round(max(runs), 2)
+            x8["e2e_median"][entropy] = round(statistics.median(runs), 2)
+            log(f"bench: overlapped [8x8 {entropy}]: median="
+                f"{x8['e2e_median'][entropy]} best="
+                f"{x8['e2e_best'][entropy]} fps")
+        del pk8, fns8
+    except Exception as e:                          # noqa: BLE001
+        log("bench: 8x8 section failed:", repr(e))
+        x8["error"] = repr(e)
+
+    # ---- export-inclusive thumbnails/s -------------------------------------
+    # The flagship app writes pictures; this measures the FULL pipe on
+    # this VM: entropy (pool) || device recon || JPEG encode+write of
+    # every frame (native writers, GIL released, same pool).  Frame
+    # content = the oracle-decoded first frame (bit-exact to the device
+    # output per the check above); encoding from host-resident planes
+    # keeps the relay tunnel out of the measurement like every other
+    # stage boundary.
+    import tempfile
+    thumbs = {}
+    export_ms = {}
+    try:
+        from minivideo_tpu import native as _native
+        oy, ocb, ocr = oracle.y, oracle.cb, oracle.cr
+        orgb = _native.yuv420_to_rgb_native(oy, ocb, ocr)
+        tmpd = tempfile.mkdtemp(prefix="bench_thumbs_")
+
+        def _w(path, data):
+            with open(path, "wb") as f:
+                f.write(data)
+
+        for name, fn in (
+                ("jpg", lambda p: _w(p, _native.encode_jpeg_native(
+                    oy, ocb, ocr, 75))),
+                ("png", lambda p: _w(p, _native.encode_png_native(
+                    _native.yuv420_to_rgb_native(oy, ocb, ocr), 3))),
+                ("bmp", lambda p: _w(p, _native.encode_bmp_native(orgb))),
+                ("tga", lambda p: _w(p, _native.encode_tga_native(orgb)))):
+            p = os.path.join(tmpd, f"f.{name}")
+            dt = min(_timed(lambda: fn(p)) for _ in range(3))
+            export_ms[name] = round(dt * 1000, 1)
+            os.unlink(p)
+        log(f"bench: export stage (1080p, native writers): "
+            + ", ".join(f"{k} {v} ms" for k, v in export_ms.items()))
+
+        # overlapped decode+export: export tasks share the entropy pool
+        exp_futs = []
+        counter = [0]
+
+        def consume_export(pk):
+            for _ in range(BATCH):
+                i = counter[0] = counter[0] + 1
+                p = os.path.join(tmpd, f"t{i % 64}.jpg")
+                exp_futs.append(pool.submit(
+                    lambda p=p: _w(p, _native.encode_jpeg_native(
+                        oy, ocb, ocr, 75))))
+
+        def drain():
+            for f in exp_futs:
+                f.result()
+            exp_futs.clear()
+
+        pictures, sps, pps = preps["cavlc"]
+        runs = overlapped(pictures, sps, pps, "cavlc",
+                          consume=consume_export, drain=drain)
+        thumbs = {"jpg_median": round(statistics.median(runs), 2),
+                  "jpg_best": round(max(runs), 2)}
+        log(f"bench: thumbnails/s [cavlc->jpg, decode+encode+write]: "
+            f"median={thumbs['jpg_median']} best={thumbs['jpg_best']} "
+            f"(runs: {', '.join(f'{r:.1f}' for r in runs)})")
+        import shutil
+        shutil.rmtree(tmpd, ignore_errors=True)
+    except Exception as e:                          # noqa: BLE001
+        log("bench: thumbnail section failed:", repr(e))
+        thumbs = {"error": repr(e)}
 
     print(json.dumps({
         "metric": "1080p_iframes_per_s",
-        "value": round(e2e["cavlc"], 2),
+        "value": round(e2e_median["cavlc"], 2),
         "unit": "frames/s",
-        "vs_baseline": round(e2e["cavlc"] / 1000.0, 3),
-        "value_cavlc": round(e2e["cavlc"], 2),
-        "value_cabac": round(e2e["cabac"], 2),
-        "value_cavlc_median": round(e2e_median["cavlc"], 2),
-        "value_cabac_median": round(e2e_median["cabac"], 2),
+        "vs_baseline": round(e2e_median["cavlc"] / 1000.0, 3),
+        "value_cavlc": round(e2e_median["cavlc"], 2),
+        "value_cabac": round(e2e_median["cabac"], 2),
+        "value_cavlc_best": round(e2e_best["cavlc"], 2),
+        "value_cabac_best": round(e2e_best["cabac"], 2),
         "runs": RUNS,
-        "aggregation": "best",
+        "aggregation": "median",
         "stream": "x264" if _have_x264() else "synthetic",
         "distinct_frames": len(preps["cavlc"][0]),
         "qp": QP,
@@ -472,6 +609,9 @@ def main():
         "device_fps_records_staging": round(device_fps_records, 1),
         "entropy_cavlc_fps": round(entropy_fps["cavlc"], 1),
         "entropy_cabac_fps": round(entropy_fps["cabac"], 1),
+        "high_profile_8x8": x8,
+        "thumbnails_per_s": thumbs,
+        "export_ms_1080p": export_ms,
         "slice_parallel": slice_stats,
         "tpu_output_check": "bit-exact",
         "host_cores": ncpu,
