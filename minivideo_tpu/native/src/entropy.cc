@@ -701,17 +701,32 @@ struct CabacEngine {
     uint32_t r_lps = (uint32_t)(e >> (((range >> 6) & 3) * 8)) & 0xFF;
     uint32_t r_mps = range - r_lps;
     uint64_t thr = (uint64_t)r_mps << S;
-    // branchless MPS/LPS select (conditional moves beat the ~50%
-    // mispredicted branch that dominates CABAC decode)
+#if MV_DEC_BRANCHLESS
+    // forced-branchless MPS/LPS select (mask arithmetic, no jump).
+    // A/B on the x264 QP26 stream measured this ~14% SLOWER than the
+    // branchy form: at these QPs the MPS path dominates, the branch
+    // predicts well, and the mask form serializes the dependency
+    // chain — see PERF.md round 5.  Kept compilable for re-measurement
+    // on other content (-DMV_DEC_BRANCHLESS=1).
+    uint64_t is_lps = (uint64_t)(low >= thr);
+    uint64_t mask = 0 - is_lps;                // ~0 on LPS
+    low -= thr & mask;
+    range = (uint32_t)((r_mps & ~mask) | (r_lps & mask));
+    ctx[i] = (uint8_t)(e >> (32 + (is_lps << 3)));
+#else
+    // branchy select: compiles to one well-predicted conditional jump
+    // (MPS-dominant content), letting the core speculate the common
+    // path with a shorter dependency chain
     int is_lps = low >= thr;
     low -= is_lps ? thr : 0;
     range = is_lps ? r_lps : r_mps;
     ctx[i] = (uint8_t)(e >> (is_lps ? 40 : 32));
+#endif
     int k = 9 - (32 - __builtin_clz(range));   // renorm (k in 0..7)
     range <<= k;
     S -= k;
     refill();
-    return (int)((s & 1) ^ (uint32_t)is_lps);
+    return (int)(((uint64_t)s ^ (uint64_t)is_lps) & 1);
   }
   inline int bypass() {
     bins++;
@@ -720,8 +735,30 @@ struct CabacEngine {
     refill();
     S -= 1;
     uint64_t thr = (uint64_t)range << S;
+#if MV_BYP_BRANCHLESS
+    // sign bits are ~random so this compare branch is ~50%
+    // mispredicted; the mask form trades it for a 2-op dependency
+    uint64_t ge = (uint64_t)(low >= thr);
+    low -= thr & (0 - ge);
+    return (int)ge;
+#else
     if (low >= thr) { low -= thr; return 1; }
     return 0;
+#endif
+  }
+  // Bypass-run batching (UEG0 escapes): ONE 64-bit division yields the
+  // next `m` bypass bins as the base-2 digits of low / (range << (S-m))
+  // — each bypass step is one long-division digit step, so the whole
+  // quotient IS the bin string.  bypass_peek never consumes;
+  // bypass_consume(j) keeps exactly the first j digits.
+  inline uint32_t bypass_peek(int m) {
+    refill();                                  // guarantees S >= 24
+    return (uint32_t)(low / ((uint64_t)range << (S - m)));
+  }
+  inline void bypass_consume(int j) {
+    bins += j;
+    S -= j;
+    low %= (uint64_t)range << S;
   }
   int terminate() {
     bins++;
@@ -732,6 +769,74 @@ struct CabacEngine {
     S -= k;
     refill();
     return 0;
+  }
+};
+
+// Register-resident engine view for the residual hot loops: the member
+// CabacEngine's per-bin state (range/low/S) lives behind `this`, and the
+// disassembly showed every bin paying ~6 store/load round trips on that
+// chain; a LOCAL object whose address never escapes lets the compiler
+// keep all three in registers across the whole residual block, syncing
+// with the member engine only at entry/exit.
+struct EngLocal {
+  uint32_t range;
+  uint64_t low;
+  int S;
+  uint64_t nbins = 0;
+  BitReader* r;
+  const CabacTabs* t;
+  uint8_t* ctx;
+
+  explicit EngLocal(CabacEngine& e)
+      : range(e.range), low(e.low), S(e.S), r(e.r), t(e.t), ctx(e.ctx) {}
+  void flush(CabacEngine& e) {
+    e.range = range;
+    e.low = low;
+    e.S = S;
+    e.bins += nbins;
+  }
+  __attribute__((always_inline)) inline void refill() {
+    if (S <= 23) {
+      low = (low << 32) | r->peek_bits32();
+      r->pos += 32;
+      S += 32;
+      if (r->pos - S > r->nbits) r->error = true;
+    }
+  }
+  __attribute__((always_inline)) inline int decision(int i) {
+    nbins++;
+    uint32_t s = ctx[i];
+    uint64_t e = t->packed[s];
+    uint32_t r_lps = (uint32_t)(e >> (((range >> 6) & 3) * 8)) & 0xFF;
+    uint32_t r_mps = range - r_lps;
+    uint64_t thr = (uint64_t)r_mps << S;
+    int is_lps = low >= thr;        // branchy: predicts well (see
+    low -= is_lps ? thr : 0;        // CabacEngine::decision)
+    range = is_lps ? r_lps : r_mps;
+    ctx[i] = (uint8_t)(e >> (is_lps ? 40 : 32));
+    int k = 9 - (32 - __builtin_clz(range));
+    range <<= k;
+    S -= k;
+    refill();
+    return (int)((s & 1) ^ (uint32_t)is_lps);
+  }
+  __attribute__((always_inline)) inline int bypass() {
+    nbins++;
+    refill();
+    S -= 1;
+    uint64_t thr = (uint64_t)range << S;
+    uint64_t ge = (uint64_t)(low >= thr);
+    low -= thr & (0 - ge);
+    return (int)ge;
+  }
+  __attribute__((always_inline)) inline uint32_t bypass_peek(int m) {
+    refill();
+    return (uint32_t)(low / ((uint64_t)range << (S - m)));
+  }
+  __attribute__((always_inline)) inline void bypass_consume(int j) {
+    nbins += j;
+    S -= j;
+    low %= (uint64_t)range << S;
   }
 };
 
@@ -864,11 +969,13 @@ struct CabacCtx {
         32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47,
         48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62};
     static const uint8_t kCdcInc[3] = {0, 1, 2};
+    EngLocal el(e);              // range/low/S in registers for the
+    //                              whole block (flush on every exit)
     int cbf = 1;
     if (cat != 5) {
       int inc = cond_cbf(mb, cat, blk, ic);
-      cbf = e.decision(85 + cat_off_cbf[cat] + inc);
-      if (!cbf) return 0;
+      cbf = el.decision(85 + cat_off_cbf[cat] + inc);
+      if (!cbf) { el.flush(e); return 0; }
     }
     int sig_base, last_base, abs_base;
     const uint8_t *sig_tab, *last_tab;
@@ -888,9 +995,9 @@ struct CabacCtx {
     int np = 0;
     bool last_fired = false;
     for (int i = 0; i < maxn - 1; i++) {
-      if (e.decision(sig_base + sig_tab[i])) {
+      if (el.decision(sig_base + sig_tab[i])) {
         pos[np++] = i;
-        if (e.decision(last_base + last_tab[i])) { last_fired = true; break; }
+        if (el.decision(last_base + last_tab[i])) { last_fired = true; break; }
       }
     }
     if (!last_fired) pos[np++] = maxn - 1;
@@ -900,26 +1007,57 @@ struct CabacCtx {
       int idx = pos[pi];
       int inc0 = num_gt1 ? 0 : (1 + num_eq1 < 4 ? 1 + num_eq1 : 4);
       int prefix = 0;
-      if (e.decision(abs_base + inc0)) {
+      if (el.decision(abs_base + inc0)) {
         prefix = 1;
         int cap = cat == 3 ? 3 : 4;
         int inc_n = 5 + (num_gt1 < cap ? num_gt1 : cap);
-        while (prefix < 14 && e.decision(abs_base + inc_n)) prefix++;
+        while (prefix < 14 && el.decision(abs_base + inc_n)) prefix++;
       }
       int64_t level = prefix + 1;
+      int sign;
       if (prefix == 14) {
+#if !MV_NO_ESC_BATCH
+        // UEG0 escape: k leading-1 bins, a 0, k suffix bins, then the
+        // sign — 2k+2 bypass bins resolved from ONE division peek when
+        // k <= 10 (levels to ~2^10+14; larger falls to the serial loop)
+        uint32_t dig = el.bypass_peek(22);
+        int k = __builtin_clz(~(dig << 10));   // leading ones of 22 digits
+        if (k <= 10) {
+          uint32_t used = dig >> (22 - (2 * k + 2));
+          sign = (int)(used & 1);
+          uint32_t suffix = (used >> 1) & ((1u << k) - 1u);
+          el.bypass_consume(2 * k + 2);
+          level += (1LL << k) - 1 + suffix;
+        } else {
+          k = 0;
+          while (el.bypass()) {
+            if (++k > 30) { r->error = true; el.flush(e); return 0; }
+          }
+          int64_t suffix = 0;
+          for (int j = 0; j < k; j++) suffix = (suffix << 1) | el.bypass();
+          level += (1LL << k) - 1 + suffix;
+          sign = el.bypass();
+        }
+#else
         int k = 0;
-        while (e.bypass()) { if (++k > 30) { r->error = true; return 0; } }
+        while (el.bypass()) {
+          if (++k > 30) { r->error = true; el.flush(e); return 0; }
+        }
         int64_t suffix = 0;
-        for (int j = 0; j < k; j++) suffix = (suffix << 1) | e.bypass();
+        for (int j = 0; j < k; j++) suffix = (suffix << 1) | el.bypass();
         level += (1LL << k) - 1 + suffix;
+        sign = el.bypass();
+#endif
+      } else {
+        sign = el.bypass();
       }
       if (level == 1) num_eq1++; else num_gt1++;
-      if (e.bypass()) level = -level;
+      if (sign) level = -level;
       (void)idx;
       val_out[pi] = (int)level;
     }
     *np_out = np;
+    el.flush(e);
     return 1;
   }
 };
