@@ -24,7 +24,7 @@ import os
 import sys
 from dataclasses import dataclass
 
-VERSION = (0, 4, 0)          # round-4 snapshot
+VERSION = (0, 5, 0)          # round-5 snapshot
 VERSION_STR = ".".join(str(v) for v in VERSION)
 
 # reconstruction engines, in "production-ness" order: the fused Pallas
