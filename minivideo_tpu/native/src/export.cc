@@ -30,6 +30,7 @@ inline uint8_t clamp_u8(int v) {
 
 void yuv420_to_rgb(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
                    int h, int w, int ch, int cw, uint8_t* out) {
+  if (h <= 0 || w <= 0 || ch <= 0 || cw <= 0) return;
   for (int r = 0; r < h; r++) {
     int cr_row = r >> 1;
     if (cr_row >= ch) cr_row = ch - 1;
@@ -284,7 +285,8 @@ inline void load_block(const uint8_t* p, int h, int w, int y0, int x0,
 int64_t encode_jpeg(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
                     int h, int w, int ch, int cw, int quality,
                     uint8_t* out, int64_t cap) {
-  if (h <= 0 || w <= 0 || h > 65535 || w > 65535) return -1;
+  if (h <= 0 || w <= 0 || h > 65535 || w > 65535 || ch <= 0 || cw <= 0)
+    return -1;
   quality = quality < 1 ? 1 : (quality > 100 ? 100 : quality);
   int scale = quality < 50 ? 5000 / quality : 200 - quality * 2;
   int qy[64], qc[64];
@@ -447,6 +449,8 @@ struct PngBand {
 int64_t encode_png(const uint8_t* rgb, int h, int w, int level,
                    int threads, uint8_t* out, int64_t cap) {
   if (h <= 0 || w <= 0) return -1;
+  if ((int64_t)h * (3 * (int64_t)w + 1) >= (int64_t)UINT32_MAX)
+    return -1;                                   // zlib uInt band limit
   if (level < 0) level = 3;
   int hw = (int)std::thread::hardware_concurrency();
   if (threads <= 0) threads = hw > 0 ? hw : 1;
@@ -515,11 +519,12 @@ int64_t encode_png(const uint8_t* rgb, int h, int w, int level,
 
 int64_t encode_bmp(const uint8_t* rgb, int h, int w, uint8_t* out,
                    int64_t cap) {
+  if (h <= 0 || w <= 0) return -1;
   int64_t row = (int64_t)w * 3;
   int64_t pad = (4 - row % 4) % 4;
   int64_t img = (row + pad) * h;
   int64_t total = 54 + img;
-  if (total > cap) return -2;
+  if (total > cap || total > (int64_t)UINT32_MAX) return -2;
   std::memset(out, 0, 54);
   out[0] = 'B'; out[1] = 'M';
   auto le32 = [&](int64_t off, uint32_t v) {
@@ -551,6 +556,7 @@ int64_t encode_bmp(const uint8_t* rgb, int h, int w, uint8_t* out,
 
 int64_t encode_tga(const uint8_t* rgb, int h, int w, uint8_t* out,
                    int64_t cap) {
+  if (h <= 0 || w <= 0 || h > 65535 || w > 65535) return -1;
   int64_t total = 18 + (int64_t)h * w * 3;
   if (total > cap) return -2;
   std::memset(out, 0, 18);

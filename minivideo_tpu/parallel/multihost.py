@@ -186,10 +186,11 @@ def worker(pid: int, nprocs: int, coordinator: str,
     mesh_b = Mesh(np.array(devs), ("lanes",))
     fn_b, _ = make_reconstruct_halo(WMB, HMB, batch_b, mesh_b,
                                     axis="lanes")
-    grep = lambda a: mhu.host_local_array_to_global_array(  # noqa: E731
-        np.asarray(a), mesh_b, P())
-    arrays_b = {k: grep(v) for k, v in packed_b.arrays.items()}
-    yb, cbb, crb = fn_b(arrays_b, grep(packed_b.ls4), grep(packed_b.ls8),
+    def repl(a):
+        return mhu.host_local_array_to_global_array(np.asarray(a),
+                                                    mesh_b, P())
+    arrays_b = {k: repl(v) for k, v in packed_b.arrays.items()}
+    yb, cbb, crb = fn_b(arrays_b, repl(packed_b.ls4), repl(packed_b.ls8),
                         *packed_b.chroma_qp_off)
     yb.block_until_ready()
     # outputs replicate for the host-side check
