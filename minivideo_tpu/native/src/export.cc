@@ -15,6 +15,10 @@
 #include <thread>
 #include <vector>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 #include <zlib.h>
 
 namespace {
@@ -188,9 +192,89 @@ const JpegTabs& jpeg_tabs() {
   return T;
 }
 
+#ifdef __AVX2__
+// 8x8 float transpose, the classic AVX unpack/shuffle/permute ladder
+static inline void transpose8(__m256 r[8]) {
+  __m256 t0 = _mm256_unpacklo_ps(r[0], r[1]);
+  __m256 t1 = _mm256_unpackhi_ps(r[0], r[1]);
+  __m256 t2 = _mm256_unpacklo_ps(r[2], r[3]);
+  __m256 t3 = _mm256_unpackhi_ps(r[2], r[3]);
+  __m256 t4 = _mm256_unpacklo_ps(r[4], r[5]);
+  __m256 t5 = _mm256_unpackhi_ps(r[4], r[5]);
+  __m256 t6 = _mm256_unpacklo_ps(r[6], r[7]);
+  __m256 t7 = _mm256_unpackhi_ps(r[6], r[7]);
+  __m256 s0 = _mm256_shuffle_ps(t0, t2, 0x44);
+  __m256 s1 = _mm256_shuffle_ps(t0, t2, 0xEE);
+  __m256 s2 = _mm256_shuffle_ps(t1, t3, 0x44);
+  __m256 s3 = _mm256_shuffle_ps(t1, t3, 0xEE);
+  __m256 s4 = _mm256_shuffle_ps(t4, t6, 0x44);
+  __m256 s5 = _mm256_shuffle_ps(t4, t6, 0xEE);
+  __m256 s6 = _mm256_shuffle_ps(t5, t7, 0x44);
+  __m256 s7 = _mm256_shuffle_ps(t5, t7, 0xEE);
+  r[0] = _mm256_permute2f128_ps(s0, s4, 0x20);
+  r[1] = _mm256_permute2f128_ps(s1, s5, 0x20);
+  r[2] = _mm256_permute2f128_ps(s2, s6, 0x20);
+  r[3] = _mm256_permute2f128_ps(s3, s7, 0x20);
+  r[4] = _mm256_permute2f128_ps(s0, s4, 0x31);
+  r[5] = _mm256_permute2f128_ps(s1, s5, 0x31);
+  r[6] = _mm256_permute2f128_ps(s2, s6, 0x31);
+  r[7] = _mm256_permute2f128_ps(s3, s7, 0x31);
+}
+
+// one AAN butterfly pass over 8 row vectors (i.e. the column DCT:
+// every vector lane is an independent 1-D 8-point DCT)
+static inline void aan_pass(__m256 r[8]) {
+  __m256 t0 = _mm256_add_ps(r[0], r[7]), t7 = _mm256_sub_ps(r[0], r[7]);
+  __m256 t1 = _mm256_add_ps(r[1], r[6]), t6 = _mm256_sub_ps(r[1], r[6]);
+  __m256 t2 = _mm256_add_ps(r[2], r[5]), t5 = _mm256_sub_ps(r[2], r[5]);
+  __m256 t3 = _mm256_add_ps(r[3], r[4]), t4 = _mm256_sub_ps(r[3], r[4]);
+  __m256 t10 = _mm256_add_ps(t0, t3), t13 = _mm256_sub_ps(t0, t3);
+  __m256 t11 = _mm256_add_ps(t1, t2), t12 = _mm256_sub_ps(t1, t2);
+  r[0] = _mm256_add_ps(t10, t11);
+  r[4] = _mm256_sub_ps(t10, t11);
+  const __m256 c707 = _mm256_set1_ps(0.707106781f);
+  const __m256 c382 = _mm256_set1_ps(0.382683433f);
+  const __m256 c541 = _mm256_set1_ps(0.541196100f);
+  const __m256 c130 = _mm256_set1_ps(1.306562965f);
+  __m256 z1 = _mm256_mul_ps(_mm256_add_ps(t12, t13), c707);
+  r[2] = _mm256_add_ps(t13, z1);
+  r[6] = _mm256_sub_ps(t13, z1);
+  t10 = _mm256_add_ps(t4, t5);
+  t11 = _mm256_add_ps(t5, t6);
+  t12 = _mm256_add_ps(t6, t7);
+  __m256 z5 = _mm256_mul_ps(_mm256_sub_ps(t10, t12), c382);
+  __m256 z2 = _mm256_add_ps(_mm256_mul_ps(t10, c541), z5);
+  __m256 z4 = _mm256_add_ps(_mm256_mul_ps(t12, c130), z5);
+  __m256 z3 = _mm256_mul_ps(t11, c707);
+  __m256 z11 = _mm256_add_ps(t7, z3), z13 = _mm256_sub_ps(t7, z3);
+  r[5] = _mm256_add_ps(z13, z2);
+  r[3] = _mm256_sub_ps(z13, z2);
+  r[1] = _mm256_add_ps(z11, z4);
+  r[7] = _mm256_sub_ps(z11, z4);
+}
+
+// DCT + quantize in one vector pass; writes NATURAL-order int32 coeffs
+static inline void fdct_quant_avx(const float* b, const float* fd,
+                                  int32_t* q) {
+  __m256 r[8];
+  for (int i = 0; i < 8; i++) r[i] = _mm256_loadu_ps(b + 8 * i);
+  aan_pass(r);                 // columns
+  transpose8(r);
+  aan_pass(r);                 // rows (on transposed data)
+  transpose8(r);               // back to natural orientation
+  for (int i = 0; i < 8; i++) {
+    __m256 v = _mm256_mul_ps(r[i], _mm256_loadu_ps(fd + 8 * i));
+    _mm256_storeu_si256((__m256i*)(q + 8 * i),
+                        _mm256_cvtps_epi32(v));   // round-to-nearest
+  }
+}
+#endif  // __AVX2__
+
 // AAN scaled forward 8x8 DCT (5 mults per 1-D pass; descaling folded
 // into the quantization table, the classic fast-JPEG formulation).
-void fdct8x8(float* b) {
+// Scalar fallback for non-AVX2 builds; the AVX2 path above runs the
+// same butterflies 8 lanes wide.
+[[maybe_unused]] void fdct8x8(float* b) {
   for (int pass = 0; pass < 2; pass++) {
     // rows on pass 0, columns on pass 1 (stride flips)
     int rs = pass == 0 ? 8 : 1, cs = pass == 0 ? 1 : 8;
@@ -239,13 +323,18 @@ inline void put_coef(BitSink& s, const HuffTable& t, int v, int run) {
 // one 8x8 block: DCT + quantize + Huffman; returns new DC predictor
 int encode_block(BitSink& s, float* blk, const float* fd,
                  const HuffTable& dc, const HuffTable& ac, int pred) {
+  int32_t qn[64];
+#ifdef __AVX2__
+  fdct_quant_avx(blk, fd, qn);   // vector DCT + quant (same rounding:
+  //                                cvtps round-to-nearest-even = lrintf)
+#else
   fdct8x8(blk);
-  // quantize in zigzag order directly
+  for (int i = 0; i < 64; i++) qn[i] = (int32_t)lrintf(blk[i] * fd[i]);
+#endif
   int zz[64];
   int last = 0;
   for (int i = 0; i < 64; i++) {
-    int nat = kZigzag[i];
-    int v = (int)lrintf(blk[nat] * fd[nat]);
+    int v = qn[kZigzag[i]];
     zz[i] = v;
     if (v) last = i;
   }
@@ -270,6 +359,18 @@ int encode_block(BitSink& s, float* blk, const float* fd,
 // clamped plane fetch (edge replication for partial MCUs)
 inline void load_block(const uint8_t* p, int h, int w, int y0, int x0,
                        float* blk) {
+#ifdef __AVX2__
+  if (y0 + 8 <= h && x0 + 8 <= w) {      // interior: no clamping
+    const __m256 off = _mm256_set1_ps(128.0f);
+    for (int r = 0; r < 8; r++) {
+      __m128i b8 = _mm_loadl_epi64(
+          (const __m128i*)(p + (int64_t)(y0 + r) * w + x0));
+      __m256 v = _mm256_cvtepi32_ps(_mm256_cvtepu8_epi32(b8));
+      _mm256_storeu_ps(blk + r * 8, _mm256_sub_ps(v, off));
+    }
+    return;
+  }
+#endif
   for (int r = 0; r < 8; r++) {
     int yy = y0 + r;
     if (yy >= h) yy = h - 1;
