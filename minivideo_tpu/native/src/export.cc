@@ -32,9 +32,88 @@ inline uint8_t clamp_u8(int v) {
   return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
 }
 
+#ifdef __AVX2__
+// int32x16 (two 8-lane vectors) -> u8x16, saturating; AVX2 packs work
+// per 128-bit lane, so a 64-bit permute reorders after each pack
+static inline __m128i pack_u8x16(__m256i lo, __m256i hi) {
+  __m256i w16 = _mm256_permute4x64_epi64(_mm256_packs_epi32(lo, hi),
+                                         0xD8);
+  __m256i b = _mm256_permute4x64_epi64(
+      _mm256_packus_epi16(w16, _mm256_setzero_si256()), 0xD8);
+  return _mm256_castsi256_si128(b);
+}
+
+// planar R/G/B u8x16 -> 48 interleaved RGB bytes (3 shuffles per
+// 16-byte output chunk, OR-combined)
+static inline void interleave_rgb16(__m128i R, __m128i G, __m128i B,
+                                    uint8_t* o) {
+  static const int8_t M[3][3][16] = {
+      // chunk 0: R0 G0 B0 R1 G1 B1 ... R5 G5
+      {{0, -1, -1, 1, -1, -1, 2, -1, -1, 3, -1, -1, 4, -1, -1, 5},
+       {-1, 0, -1, -1, 1, -1, -1, 2, -1, -1, 3, -1, -1, 4, -1, -1},
+       {-1, -1, 0, -1, -1, 1, -1, -1, 2, -1, -1, 3, -1, -1, 4, -1}},
+      // chunk 1: G5 B5 R6 ... B10
+      {{-1, -1, 6, -1, -1, 7, -1, -1, 8, -1, -1, 9, -1, -1, 10, -1},
+       {5, -1, -1, 6, -1, -1, 7, -1, -1, 8, -1, -1, 9, -1, -1, 10},
+       {-1, 5, -1, -1, 6, -1, -1, 7, -1, -1, 8, -1, -1, 9, -1, -1}},
+      // chunk 2: R11 G11 B11 ... R15 G15 B15
+      {{-1, 11, -1, -1, 12, -1, -1, 13, -1, -1, 14, -1, -1, 15, -1, -1},
+       {-1, -1, 11, -1, -1, 12, -1, -1, 13, -1, -1, 14, -1, -1, 15, -1},
+       {10, -1, -1, 11, -1, -1, 12, -1, -1, 13, -1, -1, 14, -1, -1, 15}}};
+  for (int k = 0; k < 3; k++) {
+    __m128i v = _mm_or_si128(
+        _mm_or_si128(
+            _mm_shuffle_epi8(R, _mm_loadu_si128((const __m128i*)M[k][0])),
+            _mm_shuffle_epi8(G, _mm_loadu_si128((const __m128i*)M[k][1]))),
+        _mm_shuffle_epi8(B, _mm_loadu_si128((const __m128i*)M[k][2])));
+    _mm_storeu_si128((__m128i*)(o + 16 * k), v);
+  }
+}
+
+// one output row, width-expanded chroma rows, 16 pixels per iteration
+static void yuv_row_rgb_avx(const uint8_t* yr, const uint8_t* cbx,
+                            const uint8_t* crx, int w16, uint8_t* o) {
+  const __m256i k16 = _mm256_set1_epi32(16);
+  const __m256i k128i = _mm256_set1_epi32(128);
+  const __m256i c298 = _mm256_set1_epi32(298);
+  const __m256i c409 = _mm256_set1_epi32(409);
+  const __m256i c100 = _mm256_set1_epi32(100);
+  const __m256i c208 = _mm256_set1_epi32(208);
+  const __m256i c516 = _mm256_set1_epi32(516);
+  for (int x = 0; x < w16; x += 16) {
+    __m256i R[2], G[2], B[2];
+    for (int half = 0; half < 2; half++) {
+      __m128i y8 = _mm_loadl_epi64((const __m128i*)(yr + x + 8 * half));
+      __m128i d8 = _mm_loadl_epi64((const __m128i*)(cbx + x + 8 * half));
+      __m128i e8 = _mm_loadl_epi64((const __m128i*)(crx + x + 8 * half));
+      __m256i c = _mm256_sub_epi32(_mm256_cvtepu8_epi32(y8), k16);
+      __m256i d = _mm256_sub_epi32(_mm256_cvtepu8_epi32(d8), k128i);
+      __m256i e = _mm256_sub_epi32(_mm256_cvtepu8_epi32(e8), k128i);
+      __m256i base = _mm256_add_epi32(_mm256_mullo_epi32(c, c298), k128i);
+      R[half] = _mm256_srai_epi32(
+          _mm256_add_epi32(base, _mm256_mullo_epi32(e, c409)), 8);
+      G[half] = _mm256_srai_epi32(
+          _mm256_sub_epi32(
+              _mm256_sub_epi32(base, _mm256_mullo_epi32(d, c100)),
+              _mm256_mullo_epi32(e, c208)), 8);
+      B[half] = _mm256_srai_epi32(
+          _mm256_add_epi32(base, _mm256_mullo_epi32(d, c516)), 8);
+    }
+    interleave_rgb16(pack_u8x16(R[0], R[1]), pack_u8x16(G[0], G[1]),
+                     pack_u8x16(B[0], B[1]), o + 3 * x);
+  }
+}
+#endif  // __AVX2__
+
 void yuv420_to_rgb(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
                    int h, int w, int ch, int cw, uint8_t* out) {
   if (h <= 0 || w <= 0 || ch <= 0 || cw <= 0) return;
+#ifdef __AVX2__
+  // width-expanded chroma rows (each sample duplicated 2x) let the
+  // pixel loop read chroma linearly; +2 pad so 8-byte loads at the
+  // last 16-pixel group stay in bounds
+  std::vector<uint8_t> cbx((size_t)w + 18), crx((size_t)w + 18);
+#endif
   for (int r = 0; r < h; r++) {
     int cr_row = r >> 1;
     if (cr_row >= ch) cr_row = ch - 1;
@@ -42,7 +121,21 @@ void yuv420_to_rgb(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
     const uint8_t* cbr = cb + (int64_t)cr_row * cw;
     const uint8_t* crr = cr + (int64_t)cr_row * cw;
     uint8_t* o = out + (int64_t)r * w * 3;
-    for (int x = 0; x < w; x++) {
+    int x0 = 0;
+#ifdef __AVX2__
+    int w16 = w & ~15;
+    if (w16 >= 16 && cw * 2 >= w16) {
+      if ((r & 1) == 0 || r == 0) {          // expand once per chroma row
+        for (int i = 0; i < (w16 + 1) / 2; i++) {
+          cbx[2 * i] = cbx[2 * i + 1] = cbr[i];
+          crx[2 * i] = crx[2 * i + 1] = crr[i];
+        }
+      }
+      yuv_row_rgb_avx(yr, cbx.data(), crx.data(), w16, o);
+      x0 = w16;
+    }
+#endif
+    for (int x = x0; x < w; x++) {
       int cx = x >> 1;
       if (cx >= cw) cx = cw - 1;
       int c = (int)yr[x] - 16;
@@ -62,26 +155,47 @@ void yuv420_to_rgb(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
 struct BitSink {
   uint8_t* out;
   int64_t cap, n = 0;
-  uint32_t acc = 0;
+  uint64_t acc = 0;          // low `nbits` bits valid; older bits above
+  //                            are already-flushed garbage (harmless:
+  //                            extraction windows on [nbits-32, nbits))
   int nbits = 0;
   bool err = false;
 
-  inline void put(uint32_t code, int len) {
-    acc = (acc << len) | (code & ((len == 32 ? 0u : (1u << len)) - 1u));
+  inline void put(uint32_t code, int len) {      // len <= 24
+    acc = (acc << len) | (code & ((1u << len) - 1u));
     nbits += len;
-    while (nbits >= 8) {
-      uint8_t b = (uint8_t)(acc >> (nbits - 8));
-      if (n + 2 > cap) { err = true; nbits = 0; return; }
-      out[n++] = b;
-      if (b == 0xFF) out[n++] = 0;               // stuffing
-      nbits -= 8;
+    if (nbits >= 32) emit32();
+  }
+  void emit32() {
+    uint32_t b = (uint32_t)(acc >> (nbits - 32));
+    if (n + 8 > cap) { err = true; nbits = 0; return; }
+    uint32_t t = b ^ 0xFFFFFFFFu;
+    if (((t - 0x01010101u) & ~t & 0x80808080u) == 0) {
+      // common case: no 0xFF byte in the word — one bswap store
+      uint32_t be = __builtin_bswap32(b);
+      std::memcpy(out + n, &be, 4);
+      n += 4;
+    } else {
+      for (int i = 3; i >= 0; i--) {
+        uint8_t byte = (uint8_t)(b >> (8 * i));
+        out[n++] = byte;
+        if (byte == 0xFF) out[n++] = 0;          // stuffing
+      }
     }
-    acc &= (1u << nbits) - 1u;
+    nbits -= 32;
   }
   void flush() {
-    if (nbits) {
-      int pad = 8 - nbits;
-      put((1u << pad) - 1u, pad);                // 1-fill padding
+    if (nbits & 7) {
+      int pad = 8 - (nbits & 7);
+      acc = (acc << pad) | ((1u << pad) - 1u);   // 1-fill padding
+      nbits += pad;
+    }
+    while (nbits >= 8) {
+      uint8_t byte = (uint8_t)(acc >> (nbits - 8));
+      if (n + 2 > cap) { err = true; nbits = 0; return; }
+      out[n++] = byte;
+      if (byte == 0xFF) out[n++] = 0;
+      nbits -= 8;
     }
   }
   void bytes(const uint8_t* p, int64_t len) {    // raw (header) bytes
