@@ -102,14 +102,14 @@ def ensure_compile_cache() -> None:
         pass
 
 
-# Measured pipeline constants (PERF.md round 4; x264 QP26 CAVLC 1080p,
+# Measured pipeline constants (PERF.md round 5; x264 QP26 CAVLC 1080p,
 # user-CPU ms/frame on the 2.1 GHz bench core, flat per-core scaling
 # measured 1/2/4 threads).  They parameterize the staging decision
 # below; refresh them when the parser or kernel changes materially.
-HOST_MS_RECORDS = 11.6    # per-core entropy+pack ms/frame, v1 records
-HOST_MS_DEVICE = 12.5     # per-core ms/frame, v2 device layout
-DEVICE_FPS_RECORDS = 1065.0   # chip fps on the records feed (BENCH_r04)
-DEVICE_FPS_DEVICE = 2040.0    # chip fps on the device feed
+HOST_MS_RECORDS = 9.0     # per-core entropy ms/frame, v1 records
+HOST_MS_DEVICE = 9.75     # per-core ms/frame, v2 device layout
+DEVICE_FPS_RECORDS = 1060.0   # chip fps on the records feed (r5 bench)
+DEVICE_FPS_DEVICE = 1949.0    # chip fps on the device feed
 
 
 def staging_throughput(cores: int, mode: str) -> float:
@@ -128,7 +128,7 @@ def staging_crossover_cores() -> int:
     caps at DEVICE_FPS_RECORDS; once enough cores can push the v2 feed
     PAST that cap, the device layout's 2x chip headroom takes over:
         N * 1000 / HOST_MS_DEVICE > DEVICE_FPS_RECORDS
-    (≈14 cores with the round-4 constants — derived, not asserted;
+    (≈11 cores with the round-5 constants — derived, not asserted;
     VERDICT r4 #7)."""
     import math
     return max(1, math.floor(DEVICE_FPS_RECORDS * HOST_MS_DEVICE
