@@ -490,25 +490,42 @@ def main():
         log(f"bench: kernel variant [8x8 cavlc pack]: "
             f"has8x8={pk8['cavlc'].has8x8} haspcm={pk8['cavlc'].haspcm}")
         fns8 = {e: bind(pk) for e, pk in pk8.items()}
+        # apples-to-apples with the headline device_fps: the 8x8 device
+        # stage is ALSO measured on DEVICE staging (the probe in
+        # tools/probe_8x8.py showed the 8x8 kernel itself costs ~10%,
+        # not 2x — the rest of a records-staging number is the staging
+        # layout, not the 8x8 paths)
+        pk8_dev = (pk8["cavlc"] if mode == "device"
+                   else host_batch(*preps8["cavlc"], pool, "device"))
+        fns8_dev = {"cavlc": bind(pk8_dev)}
         t0 = time.time()
         run_device(1, "cavlc", fns=fns8)
         log(f"bench: first 8x8 call (compile) {time.time()-t0:.1f}s")
         run_device(1, "cabac", fns=fns8)
-        # on-TPU output assertion for the 8x8 kernel variant
+        run_device(1, "cavlc", fns=fns8_dev)
+        # on-TPU output assertion for the 8x8 kernel variant (both
+        # staging layouts)
         oracle8 = decode_annexb(get_stream("cavlc", dct8=True),
                                 max_pictures=1, engine="np")[0]
-        y8, cb8, cr8 = fns8["cavlc"]()
-        np.testing.assert_array_equal(np.asarray(y8[0]), oracle8.y,
-                                      err_msg="Y 8x8 variant")
-        np.testing.assert_array_equal(np.asarray(cb8[0]), oracle8.cb,
-                                      err_msg="Cb 8x8 variant")
-        log("bench: on-TPU output check [8x8]: bit-exact vs numpy oracle")
+        for fns_chk in (fns8, fns8_dev):
+            y8, cb8, cr8 = fns_chk["cavlc"]()
+            np.testing.assert_array_equal(np.asarray(y8[0]), oracle8.y,
+                                          err_msg="Y 8x8 variant")
+            np.testing.assert_array_equal(np.asarray(cb8[0]), oracle8.cb,
+                                          err_msg="Cb 8x8 variant")
+        log("bench: on-TPU output check [8x8]: bit-exact vs numpy "
+            "oracle (both staging layouts)")
+        t0 = time.time()
+        run_device(ITERS, "cavlc", fns=fns8_dev)
+        dt = time.time() - t0
+        x8["device_fps"] = round(BATCH * ITERS / dt, 1)
         t0 = time.time()
         run_device(ITERS, "cavlc", fns=fns8)
         dt = time.time() - t0
-        x8["device_fps"] = round(BATCH * ITERS / dt, 1)
-        log(f"bench: device stage [8x8]: {dt/ITERS*1000:.0f} ms/batch "
-            f"({x8['device_fps']} fps)")
+        x8["device_fps_records_staging"] = round(BATCH * ITERS / dt, 1)
+        log(f"bench: device stage [8x8]: {x8['device_fps']} fps device "
+            f"staging / {x8['device_fps_records_staging']} fps records "
+            f"staging")
         for entropy in ("cavlc", "cabac"):
             pictures, sps, pps = preps8[entropy]
             runs = overlapped(pictures, sps, pps, entropy, fns=fns8)
@@ -517,7 +534,7 @@ def main():
             log(f"bench: overlapped [8x8 {entropy}]: median="
                 f"{x8['e2e_median'][entropy]} best="
                 f"{x8['e2e_best'][entropy]} fps")
-        del pk8, fns8
+        del pk8, fns8, pk8_dev, fns8_dev
     except Exception as e:                          # noqa: BLE001
         log("bench: 8x8 section failed:", repr(e))
         x8["error"] = repr(e)

@@ -328,7 +328,7 @@ def wave_compute_lane(left_col, corner, top_row, tr_row, left_c, corner_cb,
 
     # ---- I8x8: 4 static block steps (compiled out if has8x8=False) -------
     is8 = kind == KIND_I8x8
-    for b8 in range(4) if has8x8 else ():
+    for b8 in range(4) if (has8x8 and "i8" not in ablate) else ():
         bx, by = (b8 % 2) * 8, (b8 // 2) * 8
         if bx == 0:
             l8 = left_col[by:by + 8]

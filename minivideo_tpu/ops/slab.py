@@ -236,7 +236,7 @@ def residual_from_slabs(coefL, coefC, dcs, meta,
     out4 = _idct4_slab(d4, 16)                        # rows 64y + 16x + b
 
     # ---- luma 8x8 interpretation (compiled out when has8x8=False) ---------
-    if has8x8:
+    if has8x8 and "res8" not in ablate:       # "res8": perf-triage only
         v8 = coefL * _sel_scale(t8, ym6, L)
         d8 = jnp.where(ydiv >= 6, v8 << jnp.maximum(ydiv - 6, 0),
                        (v8 + (32 >> jnp.minimum(ydiv, 5)))
@@ -247,10 +247,12 @@ def residual_from_slabs(coefL, coefC, dcs, meta,
                                for x in range(8)],
                               axis=0) for i in range(8)]  # rows 4x + blk
         out8 = (jnp.concatenate(_idct8_stage_t(g8), axis=0) + 32) >> 6
+    elif has8x8:
+        out8 = out4
 
     # ---- luma assembly -----------------------------------------------------
     resl4 = _mm(p4, jnp.where(ispcm, coefL, out4) if haspcm else out4)
-    if has8x8:
+    if has8x8 and "p8sel" not in ablate:      # "p8sel": perf-triage only
         resl8 = _mm(p8, out8)
         res_luma = jnp.where(is8, resl8, resl4)
     else:
