@@ -415,6 +415,16 @@ def batch_thumbnail(clips, outdir, *, pictures_per_clip: int = 1,
                 continue
             result.frames += n_frames
 
+            # RGB formats on device engines: convert the whole batch on
+            # device (ops/color.py), fused into the readback — same
+            # wiring as mv_decode(want_rgb=True)
+            rgbs = None
+            if recon.engine != "np" and fmt in (PictureFormat.PNG,
+                                                PictureFormat.BMP,
+                                                PictureFormat.TGA):
+                from ..ops.color import yuv420_to_rgb_device
+                rgbs = yuv420_to_rgb_device(ys, cbs, crs)
+
             # ---- stage 3: async export + manifest -----------------------
             per_clip: dict = {}
             skip = bad_paths if use_slab else ()
@@ -423,7 +433,7 @@ def batch_thumbnail(clips, outdir, *, pictures_per_clip: int = 1,
                     continue
                 per_clip.setdefault(pc.path, []).append((pc, fi, bi))
 
-            def export_clip(items, ys=ys, cbs=cbs, crs=crs):
+            def export_clip(items, ys=ys, cbs=cbs, crs=crs, rgbs=rgbs):
                 pc = items[0][0]
                 sps = pc.sps
                 outs = []
@@ -433,10 +443,13 @@ def batch_thumbnail(clips, outdir, *, pictures_per_clip: int = 1,
                                  :sps.cropped_width // 2]
                     cr = crs[bi][:sps.cropped_height // 2,
                                  :sps.cropped_width // 2]
+                    rgb = (np.asarray(rgbs[bi])[:sps.cropped_height,
+                                                :sps.cropped_width]
+                           if rgbs is not None else None)
                     suffix = f"_{fi}" if len(items) > 1 else ""
                     base = os.path.join(outdir, pc.file_name + suffix)
                     outs.append(export_picture(base, fmt, y, cb, cr,
-                                               quality))
+                                               quality, rgb=rgb))
                 return pc.path, outs
 
             for items in per_clip.values():
