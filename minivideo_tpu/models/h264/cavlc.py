@@ -250,6 +250,12 @@ def residual_block_cavlc(r: BitReader, nC: int, start_idx: int, end_idx: int,
         else:
             tz_map = TOTAL_ZEROS_MAPS[total_coeff - 1]
         total_zeros = _read_vlc(r, tz_map, 9)
+        # spec 9.2.3: total_zeros <= maxNumCoeff - TotalCoeff; the
+        # 15-coefficient AC blocks share the 16-coefficient tables, so
+        # a corrupt stream can code one zero too many and the placement
+        # below would index past the block
+        if total_zeros > end_idx - start_idx + 1 - total_coeff:
+            raise BitstreamError("total_zeros exceeds block capacity")
     else:
         total_zeros = 0
 

@@ -17,7 +17,11 @@ from .. import trace
 from ..bitio import BitstreamError
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_DIR, "libminivideo_native.so")
+# MINIVIDEO_TPU_NATIVE_LIB overrides the library path (used by
+# tools/asan_check.sh to load an AddressSanitizer-instrumented build)
+_LIB_PATH = os.environ.get(
+    "MINIVIDEO_TPU_NATIVE_LIB",
+    os.path.join(_DIR, "libminivideo_native.so"))
 _lib = None
 
 

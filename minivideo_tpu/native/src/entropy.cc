@@ -576,6 +576,13 @@ struct CavlcCtx {
       const VlcLut& tzl = maxn == 4 ? L.tzc[tc - 1] : L.tz[tc - 1];
       if (!read_vlc_lut(rd, tzl, &total_zeros, &dummy))
         { rd.error = true; return -1; }
+      // spec 9.2.3: total_zeros in [0, maxNumCoeff - TotalCoeff]; the
+      // 15-coefficient AC blocks share the 16-coefficient VLC tables,
+      // so a corrupt stream can code one zero too many — without this
+      // check the scan position walks past the block (OOB zigzag read
+      // + wrong-slot store; caught by tools/asan_check.sh)
+      if (total_zeros > end - start + 1 - tc)
+        { rd.error = true; return -1; }
     }
 
     int runs[64];

@@ -90,3 +90,62 @@ def test_entropy_parity_fuzz(entropy, seed):
                                           fs_p.pcm_cb[mb])
             np.testing.assert_array_equal(fs_n.pcm_cr[mb],
                                           fs_p.pcm_cr[mb])
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_corrupt_stream_robustness(entropy):
+    """Corrupted slice payloads must surface as BitstreamError from BOTH
+    parsers — never as an unchecked crash (IndexError / native OOB).
+
+    Regression for the total_zeros bound: the 15-coefficient AC blocks
+    share the 16-coefficient VLC tables, so a corrupt stream can code
+    one zero too many and walk the scan position past the block (found
+    by tools/asan_check.sh; spec 9.2.3 bound now enforced in
+    entropy.cc and cavlc.py)."""
+    from minivideo_tpu.bitio import BitReader, BitstreamError
+    from minivideo_tpu.models.h264.decoder import group_idr_access_units
+    data = make_stream2(width_mbs=6, height_mbs=5, n_pictures=1,
+                        seed=77, mb_kinds=("i16", "i4"), density=0.5,
+                        entropy=entropy, allow_pcm=False)
+    dec = H264Decoder()
+    nalus = [parse_nalu(raw, off) for off, raw in split_annexb(data)]
+    for n in nalus:
+        if n.nal_unit_type in (7, 8):
+            dec.feed_nalu(n)
+    group = group_idr_access_units(nalus)[0]
+    n0 = group[0]
+    sh, sps, pps = parse_slice_header(
+        n0.rbsp, n0.nal_unit_type, n0.nal_ref_idc, dec.sps_map,
+        dec.pps_map)
+    rng = np.random.default_rng(5)
+    payload_start = sh.data_bit_offset // 8
+
+    def run(rbsp):
+        fs = FrameSyntax(6, 5)
+        try:
+            parse_slice_native(fs, rbsp, sh.data_bit_offset,
+                               sh.first_mb_in_slice, sh.qp,
+                               bool(pps.entropy_coding_mode_flag),
+                               bool(pps.transform_8x8_mode_flag))
+        except BitstreamError:
+            pass
+        fs2 = FrameSyntax(6, 5)
+        try:
+            if pps.entropy_coding_mode_flag:
+                CabacSliceParser(rbsp, sh, sps, pps,
+                                 fs2).parse_slice_data()
+            else:
+                r = BitReader(rbsp, start_bit=sh.data_bit_offset)
+                CavlcSliceParser(r, sh, sps, pps,
+                                 fs2).parse_slice_data()
+        except (BitstreamError, ValueError):
+            pass
+
+    for cut in (1, 3, 8, len(n0.rbsp) // 2, len(n0.rbsp) - 1):
+        run(n0.rbsp[:cut])
+    for _ in range(60):
+        mut = bytearray(n0.rbsp)
+        for _ in range(int(rng.integers(1, 4))):
+            mut[int(rng.integers(payload_start, len(mut)))] ^= \
+                int(rng.integers(1, 256))
+        run(bytes(mut))

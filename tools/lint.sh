@@ -31,6 +31,9 @@ assert not bad, bad
 print(f"all minivideo_tpu modules import cleanly")
 EOF
 
+echo "== AddressSanitizer gate (native lib over valid+mutated inputs)"
+bash tools/asan_check.sh 3 | tail -1
+
 echo "== packaging: fresh-venv editable install + CLI smoke"
 # offline install: a .pth link to the parent env supplies
 # numpy/jax/setuptools (venv-from-venv: --system-site-packages would
