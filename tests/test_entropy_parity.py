@@ -149,3 +149,29 @@ def test_corrupt_stream_robustness(entropy):
             mut[int(rng.integers(payload_start, len(mut)))] ^= \
                 int(rng.integers(1, 256))
         run(bytes(mut))
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+@pytest.mark.parametrize("max_level", [300, 900])
+def test_entropy_parity_level_escapes(entropy, max_level):
+    """Large coefficient levels force the escape codings: CABAC UEG0
+    prefix=14 suffixes (the division-batched bypass path in entropy.cc)
+    and CAVLC level_prefix>=15 escape codes.  The default fuzz corpus
+    caps levels at 6 and never reaches them; this pins native == python
+    on dense high-level streams."""
+    wmb, hmb = 6, 5
+    data = make_stream2(wmb, hmb, 1, 401 + max_level, entropy=entropy,
+                        mb_kinds=("i16", "i4", "i8"), transform_8x8=True,
+                        density=0.9, allow_pcm=False,
+                        max_level=max_level)
+    pics = _parse_both(data, wmb, hmb)
+    assert len(pics) == 1
+    saw_big = False
+    for fs_n, fs_p in pics:
+        for name in _ARRAYS:
+            a = np.asarray(getattr(fs_n, name))
+            b = np.asarray(getattr(fs_p, name))
+            np.testing.assert_array_equal(a, b, err_msg=name)
+            if name in ("luma_ac", "luma8x8_coeff") and a.size:
+                saw_big |= bool(np.abs(a).max() >= 16)
+    assert saw_big, "stream did not exercise the escape range"
