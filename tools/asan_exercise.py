@@ -64,11 +64,16 @@ def exercise_entropy(rounds):
     n_ok = n_err = 0
     for rnd in range(rounds):
         entropy = "cabac" if rnd % 2 else "cavlc"
+        # every third round uses escape-range levels, so the CABAC
+        # UEG0 division-batched bypass path and the CAVLC level escape
+        # codes run under ASan on both valid and corrupted inputs
+        big = rnd % 3 == 2
         data = make_stream2(width_mbs=wmb, height_mbs=hmb, n_pictures=1,
                             seed=300 + rnd, mb_kinds=("i16", "i4"),
-                            density=0.4, entropy=entropy,
+                            density=0.9 if big else 0.4, entropy=entropy,
                             transform_8x8=bool(rnd % 3 == 0),
-                            allow_pcm=bool(rnd % 4 == 0))
+                            allow_pcm=bool(rnd % 4 == 0),
+                            max_level=700 if big else 6)
         dec = H264Decoder()
         nalus = [parse_nalu(raw, off) for off, raw in split_annexb(data)]
         for n in nalus:
